@@ -1,0 +1,65 @@
+"""Shared CLI plumbing: model/codec construction from config + checkpoint."""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import CGICCodec
+from ..models import CGIC, CGICConfig
+
+
+def enable_compilation_cache():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.expanduser(
+                                         "~/.cache/jax_comp_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def build_codec(ckpt: Optional[str] = None,
+                config: CGICConfig = CGICConfig(),
+                seed: int = 0) -> CGICCodec:
+    """Construct a CGICCodec from either an orbax checkpoint directory, a
+    reference torch .ckpt (ported on the fly), or random init (no ckpt)."""
+    model = CGIC(config)
+    counts = np.ones(config.n_embed, np.int64)
+
+    if ckpt and os.path.isfile(ckpt) and ckpt.endswith((".ckpt", ".pth", ".pt")):
+        from ..utils.port_torch import port_cgic_checkpoint
+        params, counts = port_cgic_checkpoint(ckpt)
+        variables = {"params": params}
+        # counters can be all-zero in fresh checkpoints; keep Huffman valid
+        if counts.sum() == 0:
+            counts = np.ones_like(counts)
+    elif ckpt and os.path.isdir(ckpt):
+        from ..utils.checkpoint import restore_checkpoint
+        restored = restore_checkpoint(ckpt)
+        # accept either a raw variables dict or a TrainState-like dict
+        if "gen_params" in restored:
+            variables = {"params": restored["gen_params"]}
+            counts = np.asarray(restored["codebook_counts"])
+            if counts.sum() == 0:
+                counts = np.ones_like(counts)
+        else:
+            variables = restored if "params" in restored else {
+                "params": restored}
+    else:
+        if ckpt:
+            raise FileNotFoundError(ckpt)
+        print("WARNING: no checkpoint given — using random weights "
+              "(pipeline demo only; reconstructions will be noise).")
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, config.resolution,
+                                          config.resolution, 3)), 0.1, 0.4)
+
+    return CGICCodec(model, variables, counts)
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+    arr = np.clip(np.asarray(img), 0.0, 1.0)
+    Image.fromarray((arr * 255).astype(np.uint8)).save(path)

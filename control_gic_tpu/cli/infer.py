@@ -1,0 +1,84 @@
+"""Single-shot codec evaluation CLI (counterpart of reference inference.py).
+
+Usage:
+  python -m control_gic_tpu.cli.infer -i <images_dir> -o <out_dir> \
+      [--ckpt model.ckpt|orbax_dir] [--ratios 0.1 0.4] \
+      [--write-partition-map] [--images-range 0 -1]
+
+Per image: center-crop to /16, compress through real bitstream files,
+reconstruct, write `NNN_<bpp>.png`, log per-image and average bpp (and PSNR)
+to bpp.txt — the same eval protocol as inference.py:127-175.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..data import EvalImageDataset
+from ..utils.draw import draw_partition_map
+from ..utils.metrics import psnr
+from .common import build_codec, enable_compilation_cache, save_png
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-i", "--images_dir", type=str, required=True)
+    p.add_argument("-o", "--output_dir", type=str, default="./output")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--ratios", type=float, nargs=2, default=(0.1, 0.4),
+                   metavar=("COARSE", "MEDIUM"),
+                   help="(coarse, medium) grain ratios; fine = 1 - c - m")
+    p.add_argument("-w", "--write_partition_map", action="store_true")
+    p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    enable_compilation_cache()
+    rc, rm = args.ratios
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    stream_dir = os.path.join(args.output_dir, "streams")
+    codec = build_codec(args.ckpt)
+    dataset = EvalImageDataset(args.images_dir,
+                               images_range=tuple(args.images_range))
+    print(f"Found {len(dataset)} images; ratios=({rc}, {rm}, "
+          f"{1 - rc - rm:.3f})")
+
+    bpps, psnrs = [], []
+    log_path = os.path.join(args.output_dir, "bpp.txt")
+    with open(log_path, "w") as log:
+        for k in range(len(dataset)):
+            img = dataset[k]
+            t0 = time.time()
+            rec, bpp, enc = codec.compress(img, rc, rm, out_dir=stream_dir)
+            dt = time.time() - t0
+            p = psnr(np.clip(rec, 0, 1), img)
+            bpps.append(bpp)
+            psnrs.append(p)
+            save_png(os.path.join(args.output_dir, f"{k:03d}_{bpp:0.5f}.png"),
+                     rec)
+            if args.write_partition_map:
+                fn = codec._encode_fn(float(rc), float(rm))
+                out = fn(codec.variables, np.asarray(img)[None])
+                pm = draw_partition_map(np.asarray(img)[None],
+                                        np.asarray(out.grain_indices),
+                                        line_value=0.0)
+                save_png(os.path.join(args.output_dir, f"{k:03d}_map.png"),
+                         pm[0])
+            line = (f"{k:03d}: bpp={bpp:.5f} psnr={p:.2f}dB "
+                    f"mode={enc.mode} {dt:.2f}s")
+            print(line)
+            log.write(line + "\n")
+        avg = (f"average: bpp={np.mean(bpps):.5f} "
+               f"psnr={np.mean(psnrs):.2f}dB over {len(bpps)} images")
+        print(avg)
+        log.write(avg + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""High-resolution tiled codec CLI (counterpart of reference
+inference_high_resolution.py): pad to /16, split into non-overlapping tiles,
+compress each tile independently (batched on device), sum bits over tiles,
+bpp over original pixels.
+
+Usage:
+  python -m control_gic_tpu.cli.infer_highres -i <images_dir> -o <out_dir> \
+      [--ckpt ...] [--ratios 0.1 0.4] [--tile 768] [--mesh-devices N]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..data import EvalImageDataset
+from ..parallel.tiling import compress_tiled
+from ..utils.metrics import psnr
+from .common import build_codec, enable_compilation_cache, save_png
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-i", "--images_dir", type=str, required=True)
+    p.add_argument("-o", "--output_dir", type=str, default="./output_hr")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--ratios", type=float, nargs=2, default=(0.1, 0.4))
+    p.add_argument("--tile", type=int, default=768)
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard tile batches over this many devices (0 = off)")
+    p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    enable_compilation_cache()
+    rc, rm = args.ratios
+
+    mesh = None
+    if args.mesh_devices:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh_devices)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    codec = build_codec(args.ckpt)
+    dataset = EvalImageDataset(args.images_dir,
+                               images_range=tuple(args.images_range))
+    print(f"Found {len(dataset)} images; tile={args.tile}")
+
+    bpps, psnrs = [], []
+    with open(os.path.join(args.output_dir, "bpp.txt"), "w") as log:
+        for k in range(len(dataset)):
+            img = dataset[k]
+            t0 = time.time()
+            rec, bpp, _ = compress_tiled(codec, img, rc, rm,
+                                         tile=args.tile, mesh=mesh)
+            dt = time.time() - t0
+            p = psnr(np.clip(rec, 0, 1), img)
+            bpps.append(bpp)
+            psnrs.append(p)
+            save_png(os.path.join(args.output_dir,
+                                  f"{k:03d}_{bpp:0.5f}.png"), rec)
+            line = (f"{k:03d}: {img.shape[0]}x{img.shape[1]} "
+                    f"bpp={bpp:.5f} psnr={p:.2f}dB {dt:.2f}s")
+            print(line)
+            log.write(line + "\n")
+        avg = (f"average: bpp={np.mean(bpps):.5f} "
+               f"psnr={np.mean(psnrs):.2f}dB")
+        print(avg)
+        log.write(avg + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Training CLI (counterpart of reference main.py + config_train.yaml).
+
+Reference recipe (config_train.yaml, model.py:192-204): Adam lr 5e-5 betas
+(0.5, 0.9), grad clip-by-value 1.0, EMA 0.9999, batch 2/device, 256x256
+center-crop [-1,1] images, validation every 2000 steps, checkpoint every
+2000 steps. Data parallelism = batch sharded over the device mesh (the
+TPU-native replacement for Lightning DDP/NCCL).
+
+Usage:
+  python -m control_gic_tpu.cli.train --train-dir <imgs> [--val-dir <imgs>]
+      [--steps 165000] [--batch-size 8] [--ckpt-dir ./all_saves]
+      [--val-every 2000] [--ckpt-every 2000] [--log-every 30]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from ..data import ImageFolderDataset, prefetch_batches
+from ..models.cgic import CGICConfig
+from ..parallel.mesh import data_sharding, make_mesh, shard_batch
+from ..train import TrainConfig, Trainer, create_train_state
+from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .common import enable_compilation_cache
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-dir", type=str, required=True)
+    p.add_argument("--val-dir", type=str, default=None)
+    p.add_argument("--steps", type=int, default=165_000)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="global batch (reference: 2 x 4 GPUs)")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--ratios", type=float, nargs=2, default=(0.1, 0.4))
+    p.add_argument("--ckpt-dir", type=str, default="./all_saves")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--val-every", type=int, default=2000)
+    p.add_argument("--ckpt-every", type=int, default=2000)
+    p.add_argument("--log-every", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    enable_compilation_cache()
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    assert args.batch_size % n_dev == 0, (args.batch_size, n_dev)
+    print(f"devices={n_dev} global_batch={args.batch_size}")
+
+    model_cfg = CGICConfig(resolution=args.image_size, dtype=args.dtype)
+    train_cfg = TrainConfig(learning_rate=args.lr,
+                            coarse_ratio=args.ratios[0],
+                            medium_ratio=args.ratios[1])
+    trainer = Trainer(model_cfg, train_cfg, mesh=mesh,
+                      data_sharding=data_sharding(mesh))
+
+    state = create_train_state(jax.random.PRNGKey(args.seed), model_cfg,
+                               train_cfg, image_size=args.image_size)
+    start = 0
+    if args.resume and latest_step(args.ckpt_dir) is not None:
+        state = restore_checkpoint(args.ckpt_dir, template=state)
+        start = int(state.step)
+        print(f"resumed from step {start}")
+
+    train_ds = ImageFolderDataset(args.train_dir, args.image_size)
+    print(f"train images: {len(train_ds)}")
+    batches = prefetch_batches(train_ds, args.batch_size, shuffle=True,
+                               seed=args.seed)
+    val_batches = None
+    if args.val_dir:
+        val_ds = ImageFolderDataset(args.val_dir, args.image_size)
+        val_batches = [val_ds[i] for i in range(min(16, len(val_ds)))]
+
+    t0 = time.time()
+    seen = 0
+    for step, batch in enumerate(batches, start=start):
+        if step >= args.steps:
+            break
+        x = shard_batch(mesh, batch)
+        state, metrics = trainer.train_step(state, x)
+        seen += batch.shape[0]
+
+        if step % args.log_every == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            ips = seen / (time.time() - t0 + 1e-9)
+            print(f"step {step}: "
+                  + " ".join(f"{k.split('/')[-1]}={v:.4f}"
+                             for k, v in sorted(metrics.items()))
+                  + f" ({ips:.2f} img/s)")
+        if val_batches and step and step % args.val_every == 0:
+            vx = shard_batch(mesh, np.stack(val_batches[:args.batch_size]))
+            vm = {k: float(v) for k, v in trainer.eval_step(state, vx).items()}
+            print(f"  val @ {step}: "
+                  + " ".join(f"{k.split('/')[-1]}={v:.4f}"
+                             for k, v in sorted(vm.items())))
+        if step and step % args.ckpt_every == 0:
+            save_checkpoint(args.ckpt_dir, step, state)
+            print(f"  checkpoint @ {step}")
+
+    save_checkpoint(args.ckpt_dir, int(state.step), state, wait=True)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,325 @@
+"""End-to-end codec pipeline: jitted transform + host entropy coding.
+
+Mirrors the reference round-trip (/root/reference/CGIC/models/model.py:206-401)
+as two separable stages that a real sender/receiver pair could run:
+
+  sender:   encode_jit(image) -> index grid + grain masks (device)
+            -> split per-grain streams (host, numpy)
+            -> Huffman index streams + bitmap mask streams (C++/host)
+  receiver: read streams -> rebuild masks + full index grid (host, numpy)
+            -> decode_jit(indices, masks) -> RGB (device)
+
+Stream inventory per compression mode (model.py:225-260):
+  mode 0: indices coarse+medium+fine, masks coarse+medium
+  mode 1: indices medium+fine, mask medium            (coarse ratio 0)
+  mode 2: indices coarse+fine, mask coarse            (medium ratio 0)
+  mode 3: indices coarse+medium, mask coarse          (fine ratio 0)
+  mode 4/5/6: single all-{coarse,medium,fine} index stream, no masks
+The fine mask is never transmitted — the receiver derives it as the
+complement (model.py:280).
+
+bpp accounting matches the reference: sum of written stream sizes (each
+including its 8-bit pad header) * 8 / pixel count.
+
+The per-grain index streams have data-dependent length, so the split stays
+on host (SURVEY.md §7 "ragged per-grain index streams"); everything
+shape-static is jitted.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coding import BitmapCodec, HuffmanCodec
+from .models.cgic import CGIC, CGICConfig
+
+STREAM_FILES = {
+    "indices_coarse": "indices_coarse.bin",
+    "indices_medium": "indices_medium.bin",
+    "indices_fine": "indices_fine.bin",
+    "mask_coarse": "mask_coarse.bin",
+    "mask_medium": "mask_medium.bin",
+}
+
+MODE_STREAMS = {
+    0: ["indices_coarse", "indices_medium", "indices_fine",
+        "mask_coarse", "mask_medium"],
+    1: ["indices_medium", "indices_fine", "mask_medium"],
+    2: ["indices_coarse", "indices_fine", "mask_coarse"],
+    3: ["indices_coarse", "indices_medium", "mask_coarse"],
+    4: ["indices_coarse"],
+    5: ["indices_medium"],
+    6: ["indices_fine"],
+}
+
+
+@dataclasses.dataclass
+class EncodedImage:
+    """The bitstream bundle for one image."""
+    mode: int
+    latent_hw: Tuple[int, int]       # (Hl, Wl) of the fine index grid
+    image_hw: Tuple[int, int]        # original pixel dims (for bpp)
+    streams: Dict[str, bytes]
+
+    @property
+    def num_bytes(self) -> int:
+        return sum(len(v) for v in self.streams.values())
+
+    @property
+    def bpp(self) -> float:
+        return self.num_bytes * 8 / (self.image_hw[0] * self.image_hw[1])
+
+    def write(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        for name in MODE_STREAMS[self.mode]:
+            with open(os.path.join(path, STREAM_FILES[name]), "wb") as f:
+                f.write(self.streams.get(name, b""))
+
+    @classmethod
+    def read(cls, path: str, mode: int, latent_hw: Tuple[int, int],
+             image_hw: Tuple[int, int]) -> "EncodedImage":
+        streams = {}
+        for name in MODE_STREAMS[mode]:
+            with open(os.path.join(path, STREAM_FILES[name]), "rb") as f:
+                streams[name] = f.read()
+        return cls(mode=mode, latent_hw=latent_hw, image_hw=image_hw,
+                   streams=streams)
+
+
+def _up2(m: np.ndarray) -> np.ndarray:
+    return m.repeat(2, axis=-2).repeat(2, axis=-1)
+
+
+def _up4(m: np.ndarray) -> np.ndarray:
+    return m.repeat(4, axis=-2).repeat(4, axis=-1)
+
+
+class CGICCodec:
+    """Host-side orchestrator binding a CGIC model + entropy coders."""
+
+    def __init__(self, model: CGIC, variables, counts):
+        self.model = model
+        self.variables = variables
+        self.huffman = HuffmanCodec.from_counts(np.asarray(counts))
+        self.bitmap = BitmapCodec()
+        self._encode_fns = {}
+        self._decode_fn = jax.jit(
+            lambda v, idx, masks: self.model.apply(
+                v, idx, masks, method=CGIC.decode_indices))
+
+    # ---------------------------------------------------------------- encode
+
+    def _encode_fn(self, rc: float, rm: float, per_sample: bool = False):
+        key = (rc, rm, per_sample)
+        if key not in self._encode_fns:
+            self._encode_fns[key] = jax.jit(
+                lambda v, x: self.model.apply(
+                    v, x, rc, rm, per_sample=per_sample,
+                    method=CGIC.encode))
+        return self._encode_fns[key]
+
+    def encode(self, image: np.ndarray, coarse_ratio: float,
+               medium_ratio: float) -> EncodedImage:
+        """image: [H, W, 3] float in the eval range [0, 1] (or [-1, 1] for
+        train-convention inputs; entropy bins cover both, model.py:480)."""
+        assert image.ndim == 3, image.shape
+        h, w, _ = image.shape
+        assert h % 16 == 0 and w % 16 == 0, "pad/crop to /16 first"
+        x = jnp.asarray(image, jnp.float32)[None]
+        enc = self._encode_fn(float(coarse_ratio), float(medium_ratio))(
+            self.variables, x)
+
+        ind = np.asarray(enc.indices[0])                       # [Hl, Wl]
+        m_c = np.asarray(enc.router.mask_coarse[0])            # [Hl/4, Wl/4]
+        m_m = np.asarray(enc.router.mask_medium[0])
+        m_f = np.asarray(enc.router.mask_fine[0])
+        # mode is trace-static (derived from the static ratios) but jit
+        # returns it as a device scalar; bring it back to a Python int.
+        mode = int(enc.router.mode)
+
+        # per-grain streams: subsample the fine grid at each grain's stride,
+        # then boolean-gather in row-major order (model.py:219-221)
+        ind_coarse = ind[::4, ::4][m_c == 1]
+        ind_medium = ind[::2, ::2][m_m == 1]
+        ind_fine = ind[m_f == 1]
+
+        streams: Dict[str, bytes] = {}
+        if "indices_coarse" in MODE_STREAMS[mode]:
+            streams["indices_coarse"] = self.huffman.encode(ind_coarse)
+        if "indices_medium" in MODE_STREAMS[mode]:
+            streams["indices_medium"] = self.huffman.encode(ind_medium)
+        if "indices_fine" in MODE_STREAMS[mode]:
+            streams["indices_fine"] = self.huffman.encode(ind_fine)
+        if "mask_coarse" in MODE_STREAMS[mode]:
+            streams["mask_coarse"] = self.bitmap.encode(m_c.reshape(-1))
+        if "mask_medium" in MODE_STREAMS[mode]:
+            streams["mask_medium"] = self.bitmap.encode(m_m.reshape(-1))
+
+        return EncodedImage(mode=mode, latent_hw=ind.shape,
+                            image_hw=(h, w), streams=streams)
+
+    def encode_batch(self, images: np.ndarray, coarse_ratio: float,
+                     medium_ratio: float) -> List[EncodedImage]:
+        """Batched encode of same-shape independent images/tiles. Each
+        element is routed with per-sample thresholds, so the resulting
+        streams are identical to encoding each image alone (the reference's
+        per-tile loop, inference_high_resolution.py:235-251), but the
+        device work runs as one batched program."""
+        assert images.ndim == 4, images.shape
+        n, h, w, _ = images.shape
+        assert h % 16 == 0 and w % 16 == 0
+        enc = self._encode_fn(float(coarse_ratio), float(medium_ratio),
+                              per_sample=True)(
+            self.variables, jnp.asarray(images, jnp.float32))
+        ind = np.asarray(enc.indices)
+        m_c = np.asarray(enc.router.mask_coarse)
+        m_m = np.asarray(enc.router.mask_medium)
+        m_f = np.asarray(enc.router.mask_fine)
+        mode = int(enc.router.mode)
+
+        out = []
+        for i in range(n):
+            streams: Dict[str, bytes] = {}
+            present = MODE_STREAMS[mode]
+            if "indices_coarse" in present:
+                streams["indices_coarse"] = self.huffman.encode(
+                    ind[i, ::4, ::4][m_c[i] == 1])
+            if "indices_medium" in present:
+                streams["indices_medium"] = self.huffman.encode(
+                    ind[i, ::2, ::2][m_m[i] == 1])
+            if "indices_fine" in present:
+                streams["indices_fine"] = self.huffman.encode(
+                    ind[i][m_f[i] == 1])
+            if "mask_coarse" in present:
+                streams["mask_coarse"] = self.bitmap.encode(
+                    m_c[i].reshape(-1))
+            if "mask_medium" in present:
+                streams["mask_medium"] = self.bitmap.encode(
+                    m_m[i].reshape(-1))
+            out.append(EncodedImage(mode=mode, latent_hw=ind.shape[1:],
+                                    image_hw=(h, w), streams=streams))
+        return out
+
+    # ---------------------------------------------------------------- decode
+
+    def _rebuild(self, encoded: EncodedImage
+                 ) -> Tuple[np.ndarray, List[np.ndarray]]:
+        """Rebuild the full index grid + mask triple from the bitstreams
+        (receiver side of model.py:269-389, all 7 modes)."""
+        hl, wl = encoded.latent_hw
+        mode = encoded.mode
+        get = lambda n: encoded.streams[n]
+
+        def scatter(mask: np.ndarray, data: Optional[List[int]]) -> np.ndarray:
+            grid = np.zeros(mask.shape, np.int64)
+            if data is not None:
+                sel = mask == 1
+                assert sel.sum() == len(data), (sel.sum(), len(data))
+                grid[sel] = np.asarray(data, np.int64)
+            return grid
+
+        zeros_c = np.zeros((hl // 4, wl // 4), np.int64)
+        zeros_m = np.zeros((hl // 2, wl // 2), np.int64)
+        zeros_f = np.zeros((hl, wl), np.int64)
+
+        if mode == 0:
+            m_c = np.asarray(self.bitmap.decode(get("mask_coarse")),
+                             np.int64).reshape(hl // 4, wl // 4)
+            m_m = np.asarray(self.bitmap.decode(get("mask_medium")),
+                             np.int64).reshape(hl // 2, wl // 2)
+            m_f = 1 - _up2(m_m) - _up4(m_c)
+            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")))
+            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")))
+            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")))
+            ind = g_f + _up2(g_m) + _up4(g_c)
+        elif mode == 1:
+            m_m = np.asarray(self.bitmap.decode(get("mask_medium")),
+                             np.int64).reshape(hl // 2, wl // 2)
+            m_f = 1 - _up2(m_m)
+            m_c = zeros_c
+            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")))
+            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")))
+            ind = g_f + _up2(g_m)
+        elif mode == 2:
+            m_c = np.asarray(self.bitmap.decode(get("mask_coarse")),
+                             np.int64).reshape(hl // 4, wl // 4)
+            m_f = 1 - _up4(m_c)
+            m_m = zeros_m
+            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")))
+            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")))
+            ind = g_f + _up4(g_c)
+        elif mode == 3:
+            m_c = np.asarray(self.bitmap.decode(get("mask_coarse")),
+                             np.int64).reshape(hl // 4, wl // 4)
+            m_m = 1 - _up2(m_c)
+            m_f = zeros_f
+            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")))
+            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")))
+            ind = _up4(g_c) + _up2(g_m)
+        elif mode == 4:
+            data = self.huffman.decode(get("indices_coarse"))
+            ind = _up4(np.asarray(data, np.int64).reshape(hl // 4, wl // 4))
+            m_c = np.ones_like(zeros_c)
+            m_m, m_f = zeros_m, zeros_f
+        elif mode == 5:
+            data = self.huffman.decode(get("indices_medium"))
+            ind = _up2(np.asarray(data, np.int64).reshape(hl // 2, wl // 2))
+            m_m = np.ones_like(zeros_m)
+            m_c, m_f = zeros_c, zeros_f
+        elif mode == 6:
+            data = self.huffman.decode(get("indices_fine"))
+            ind = np.asarray(data, np.int64).reshape(hl, wl)
+            m_f = np.ones_like(zeros_f)
+            m_c, m_m = zeros_c, zeros_m
+        else:
+            raise ValueError(f"bad mode {mode}")
+
+        return ind, [m_c, m_m, m_f]
+
+    def decode(self, encoded: EncodedImage) -> np.ndarray:
+        """-> [H, W, 3] float reconstruction."""
+        ind, masks = self._rebuild(encoded)
+        rec = self._decode_fn(
+            self.variables,
+            jnp.asarray(ind, jnp.int32)[None],
+            tuple(jnp.asarray(m, jnp.int32)[None] for m in masks))
+        return np.asarray(rec[0])
+
+    def decode_batch(self, encoded: List[EncodedImage]) -> np.ndarray:
+        """Batched decode of same-shape bundles -> [N, H, W, 3]."""
+        inds, m_cs, m_ms, m_fs = [], [], [], []
+        for e in encoded:
+            ind, (m_c, m_m, m_f) = self._rebuild(e)
+            inds.append(ind)
+            m_cs.append(m_c)
+            m_ms.append(m_m)
+            m_fs.append(m_f)
+        rec = self._decode_fn(
+            self.variables,
+            jnp.asarray(np.stack(inds), jnp.int32),
+            (jnp.asarray(np.stack(m_cs), jnp.int32),
+             jnp.asarray(np.stack(m_ms), jnp.int32),
+             jnp.asarray(np.stack(m_fs), jnp.int32)))
+        return np.asarray(rec)
+
+    # ------------------------------------------------------------ round-trip
+
+    def compress(self, image: np.ndarray, coarse_ratio: float,
+                 medium_ratio: float, out_dir: Optional[str] = None
+                 ) -> Tuple[np.ndarray, float, EncodedImage]:
+        """Full sender->receiver round-trip (through files when out_dir is
+        given, exactly like the reference compress(), model.py:206-401).
+
+        Returns (reconstruction [H,W,3], bpp, encoded bundle)."""
+        encoded = self.encode(image, coarse_ratio, medium_ratio)
+        if out_dir is not None:
+            encoded.write(out_dir)
+            encoded = EncodedImage.read(out_dir, encoded.mode,
+                                        encoded.latent_hw, encoded.image_hw)
+        rec = self.decode(encoded)
+        return rec, encoded.bpp, encoded

@@ -1,0 +1,140 @@
+"""VQGAN building blocks in flax.linen, NHWC layout, TPU-first.
+
+Behavioral contracts (cited against /root/reference for parity checking):
+  - ResnetBlock: GroupNorm(32, eps 1e-6) -> swish -> 3x3 conv, twice, with a
+    1x1 nin-shortcut on channel change (vqvae_blocks.py:78-137).
+  - AttnBlock: GroupNorm -> 1x1 q/k/v -> single-head softmax attention at
+    scale c^-0.5 -> 1x1 proj, residual (vqvae_blocks.py:140-192). The
+    attention inner loop dispatches to a Pallas flash kernel for long token
+    counts (ops/attention.py).
+  - SpatialNorm (MoVQ): GroupNorm(f) * conv_y(zq) + conv_b(zq) with zq
+    nearest-resized to f's spatial size (decoder.py:34-53).
+  - Downsample: (0,1,0,1) asymmetric zero-pad then 3x3 stride-2 VALID conv
+    (vqvae_blocks.py:56-75). Upsample: x2 nearest then 3x3 conv
+    (vqvae_blocks.py:38-53).
+
+Design notes (TPU): everything is NHWC so convs hit the MXU with no layout
+transposes; `dtype` selects the activation/compute dtype (bf16 for speed,
+f32 for parity tests) while parameters stay f32.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import attention
+from ..ops.resample import nearest_resize, upsample_nearest
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * nn.sigmoid(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(num_groups=32, eps=1e-6, affine) computed in f32."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm")(
+                             x.astype(jnp.float32))
+        return h.astype(self.dtype)
+
+
+class SpatialNorm(nn.Module):
+    """MoVQ spatially-modulated GroupNorm: norm(f) * conv_y(zq) + conv_b(zq)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f, zq):
+        zq = nearest_resize(zq, f.shape[1], f.shape[2]).astype(self.dtype)
+        normed = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                              param_dtype=jnp.float32, name="norm_layer")(
+                                  f.astype(jnp.float32)).astype(self.dtype)
+        y = nn.Conv(f.shape[-1], (1, 1), dtype=self.dtype, name="conv_y")(zq)
+        b = nn.Conv(f.shape[-1], (1, 1), dtype=self.dtype, name="conv_b")(zq)
+        return normed * y + b
+
+
+class _Norm(nn.Module):
+    """Plain GroupNorm, or SpatialNorm when a zq conditioning is passed."""
+    spatial: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None):
+        if self.spatial:
+            assert zq is not None
+            return SpatialNorm(dtype=self.dtype, name="spatial")(x, zq)
+        return GroupNorm32(dtype=self.dtype, name="group")(x)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    zq_cond: bool = False          # decoder-style SpatialNorm conditioning
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+
+        h = _Norm(self.zq_cond, self.dtype, name="norm1")(x, zq)
+        h = swish(h)
+        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
+
+        h = _Norm(self.zq_cond, self.dtype, name="norm2")(h, zq)
+        h = swish(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
+
+        if in_ch != out_ch:
+            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    zq_cond: bool = False
+    dtype: jnp.dtype = jnp.float32
+    use_flash: Optional[bool] = None   # None = auto by token count/backend
+
+    @nn.compact
+    def __call__(self, x, zq=None):
+        b, h, w, c = x.shape
+        hn = _Norm(self.zq_cond, self.dtype, name="norm")(x, zq)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn)
+
+        t = h * w
+        out = attention(q.reshape(b, t, c), k.reshape(b, t, c),
+                        v.reshape(b, t, c), use_flash=self.use_flash)
+        out = out.reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    """Asymmetric-pad stride-2 conv ((0,1),(0,1)) — halves H and W."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
+                       padding=((0, 1), (0, 1)), dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """x2 nearest upsample followed by a 3x3 conv."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_nearest(x, 2)
+        return nn.Conv(x.shape[-1], (3, 3), dtype=self.dtype, name="conv")(x)

@@ -1,0 +1,121 @@
+"""Mask-aware VQGAN decoder with SpatialNorm conditioning (NHWC, flax.linen).
+
+Behavioral contract: /root/reference/CGIC/modules/vqvae/decoder.py:215-398.
+  - Three parallel 3x3 conv stems (z -> block_in) + three zq-conditioned mid
+    stacks (ResBlock + Attn + ResBlock), all at the full latent resolution.
+  - The coarse path is then avg-pooled x4 and the medium path x2
+    (decoder.py:304-305, 366-367).
+  - The upsampling trunk (num_res_blocks+1 ResBlocks per level, attention at
+    the configured resolutions) re-injects each granularity at its matching
+    level, gated multiplicatively by the grain masks (decoder.py:373-382):
+      at H/8 level: h = h * up2(mask_c) + medium * mask_m
+      at H/4 level: h = h * up4(mask_c) + h * up2(mask_m) + fine * mask_f
+  - Every norm is SpatialNorm modulated by the quantized latent zq.
+  - Final SpatialNorm -> swish -> 3x3 conv to out_ch; that conv's kernel is
+    the "last layer" for the adaptive GAN weight (model.py:403-404).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resample import avg_pool, upsample_nearest
+from .blocks import AttnBlock, ResnetBlock, SpatialNorm, Upsample, swish
+
+
+class _Mid(nn.Module):
+    dropout: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, h, zq, *, deterministic: bool = True):
+        h = ResnetBlock(dropout=self.dropout, zq_cond=True, dtype=self.dtype,
+                        name="block_1")(h, zq, deterministic=deterministic)
+        h = AttnBlock(zq_cond=True, dtype=self.dtype, name="attn_1")(h, zq)
+        h = ResnetBlock(dropout=self.dropout, zq_cond=True, dtype=self.dtype,
+                        name="block_2")(h, zq, deterministic=deterministic)
+        return h
+
+
+class Decoder(nn.Module):
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, zq, masks, *, deterministic: bool = True):
+        """Decode the fused latent to RGB.
+
+        Args:
+          z: [B, Hl, Wl, z_channels] post-quant-conv latent (Hl = H/4).
+          zq: [B, Hl, Wl, embed_dim] quantized latent for SpatialNorm.
+          masks: (mask_coarse [B,Hl/4,Wl/4], mask_medium [B,Hl/2,Wl/2],
+                  mask_fine [B,Hl,Wl]) int/float grids.
+        Returns: [B, 4*Hl, 4*Wl, out_ch].
+        """
+        num_res = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[-1]
+        m_c, m_m, m_f = masks
+        gate = lambda m: m.astype(self.dtype)[..., None]   # [B,h,w,1]
+
+        h_coarse = nn.Conv(block_in, (3, 3), dtype=self.dtype,
+                           name="conv_in_coarse")(z)
+        h_medium = nn.Conv(block_in, (3, 3), dtype=self.dtype,
+                           name="conv_in")(z)
+        h_fine = nn.Conv(block_in, (3, 3), dtype=self.dtype,
+                         name="conv_in_fine")(z)
+
+        h_coarse = _Mid(self.dropout, self.dtype, name="mid_coarse")(
+            h_coarse, zq, deterministic=deterministic)
+        h_medium = _Mid(self.dropout, self.dtype, name="mid")(
+            h_medium, zq, deterministic=deterministic)
+        h_fine = _Mid(self.dropout, self.dtype, name="mid_fine")(
+            h_fine, zq, deterministic=deterministic)
+
+        h_coarse = avg_pool(h_coarse, 4)
+        h_medium = avg_pool(h_medium, 2)
+
+        # attention placement schedule mirrors the reference init: curr_res
+        # starts at resolution / 2^(num_res-1) and doubles after each level
+        # built in reversed order.
+        curr_res = self.resolution // 2 ** (num_res - 1)
+        attn_levels = set()
+        for i_level in reversed(range(num_res)):
+            if curr_res in self.attn_resolutions:
+                attn_levels.add(i_level)
+            if i_level != 0:
+                curr_res *= 2
+
+        h = h_coarse
+        for i_level in reversed(range(num_res)):
+            if i_level == num_res - 2:
+                h = h * upsample_nearest(gate(m_c), 2) + h_medium * gate(m_m)
+            elif i_level == num_res - 3:
+                h = (h * upsample_nearest(gate(m_c), 4)
+                     + h * upsample_nearest(gate(m_m), 2)
+                     + h_fine * gate(m_f))
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlock(
+                    out_channels=block_out, dropout=self.dropout,
+                    zq_cond=True, dtype=self.dtype,
+                    name=f"up_{i_level}_block_{i_block}")(
+                        h, zq, deterministic=deterministic)
+                if i_level in attn_levels:
+                    h = AttnBlock(zq_cond=True, dtype=self.dtype,
+                                  name=f"up_{i_level}_attn_{i_block}")(h, zq)
+            if i_level != 0:
+                h = Upsample(dtype=self.dtype,
+                             name=f"up_{i_level}_upsample")(h)
+
+        h = SpatialNorm(dtype=self.dtype, name="norm_out")(h, zq)
+        h = swish(h)
+        return nn.Conv(self.out_ch, (3, 3), dtype=self.dtype,
+                       name="conv_out")(h)

@@ -1,0 +1,99 @@
+"""Triple-tap VQGAN encoder (NHWC, flax.linen).
+
+Behavioral contract: /root/reference/CGIC/modules/vqvae/vqvae_blocks.py:195-374.
+A single downsampling trunk (ch=128, ch_mult (1,2,2,4,4), 2 ResBlocks/level,
+attention at 32x32) taps features at three depths:
+  fine   = level num_res-3 output  (H/4,  ch*ch_mult[-3])
+  medium = level num_res-2 output  (H/8,  ch*ch_mult[-2])
+  coarse = trunk bottom            (H/16, ch*ch_mult[-1])
+Each tap gets its own mid stack (ResBlock + Attn + ResBlock) + GroupNorm +
+3x3 conv head down to z_channels.
+
+Unlike the reference (which instantiates the router inside the encoder
+forward, vqvae_blocks.py:354), this module is purely the neural net: it
+returns the three z-heads and the caller (models/cgic.py) fuses them with
+the router masks. That keeps the compiled encoder independent of the ratio
+config.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import AttnBlock, Downsample, GroupNorm32, ResnetBlock, swish
+
+
+class _MidHead(nn.Module):
+    """mid(ResBlock+Attn+ResBlock) -> GroupNorm -> swish -> conv to z_ch."""
+    z_channels: int
+    dropout: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, h, *, deterministic: bool = True):
+        h = ResnetBlock(dropout=self.dropout, dtype=self.dtype,
+                        name="block_1")(h, deterministic=deterministic)
+        h = AttnBlock(dtype=self.dtype, name="attn_1")(h)
+        h = ResnetBlock(dropout=self.dropout, dtype=self.dtype,
+                        name="block_2")(h, deterministic=deterministic)
+        h = GroupNorm32(dtype=self.dtype, name="norm_out")(h)
+        h = swish(h)
+        return nn.Conv(self.z_channels, (3, 3), dtype=self.dtype,
+                       name="conv_out")(h)
+
+
+class Encoder(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (32,)
+    resolution: int = 256
+    z_channels: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """x: [B, H, W, 3] -> (z_fine [B,H/4,W/4,zc], z_medium [B,H/8,...],
+        z_coarse [B,H/16,...])."""
+        num_res = len(self.ch_mult)
+        # `resolution` only seeds the attn-placement schedule; actual H can
+        # differ (high-res tiles) — the reference behaves identically since
+        # it tracks curr_res from the config resolution too.
+        curr_res = self.resolution
+
+        h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="conv_in")(x)
+        h_fine = h_medium = None
+        for i_level in range(num_res):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = ResnetBlock(
+                    out_channels=block_out, dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"down_{i_level}_block_{i_block}")(
+                        h, deterministic=deterministic)
+                if curr_res in self.attn_resolutions:
+                    h = AttnBlock(dtype=self.dtype,
+                                  name=f"down_{i_level}_attn_{i_block}")(h)
+            if i_level == num_res - 3:
+                h_fine = h
+            if i_level == num_res - 2:
+                h_medium = h
+            if i_level != num_res - 1:
+                h = Downsample(dtype=self.dtype,
+                               name=f"down_{i_level}_downsample")(h)
+                curr_res //= 2
+        h_coarse = h
+
+        z_fine = _MidHead(self.z_channels, self.dropout, self.dtype,
+                          name="head_fine")(h_fine, deterministic=deterministic)
+        z_medium = _MidHead(self.z_channels, self.dropout, self.dtype,
+                            name="head_medium")(h_medium,
+                                                deterministic=deterministic)
+        z_coarse = _MidHead(self.z_channels, self.dropout, self.dtype,
+                            name="head_coarse")(h_coarse,
+                                                deterministic=deterministic)
+        return z_fine, z_medium, z_coarse

@@ -1,0 +1,119 @@
+"""Single-head full self-attention over flattened spatial tokens.
+
+This is the latent attention of the VQGAN blocks (behavioral contract:
+/root/reference/CGIC/modules/vqvae/vqvae_blocks.py:168-192 — scale c^-0.5,
+softmax over keys, no masking, single head).
+
+Two code paths:
+  - `attention_xla`: plain einsum + softmax. For <=1024 tokens XLA is at
+    speed-of-light already.
+  - `attention_flash`: Pallas flash attention with a (batch, q-block,
+    kv-block) grid. Only one q-block and one kv-block live in VMEM at a
+    time; the online-softmax running max/denominator/accumulator persist in
+    VMEM scratch across the innermost kv grid steps. This bounds VMEM at
+    O(block^2) regardless of token count, which is what lifts the
+    reference's 768px tile cap (192x192 = 36864 latent tokens).
+
+Inputs are [B, T, C] f32/bf16; outputs match the query dtype.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_TOKENS = 2048
+_BLOCK_Q = 512
+_BLOCK_K = 512
+
+
+def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    c = q.shape[-1]
+    scale = jnp.asarray(c, jnp.float32) ** -0.5
+    logits = jnp.einsum("btc,bsc->bts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bts,bsc->btc", w.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale: float):
+    """Grid = (B, Tq/bq, Tk/bk); kv is innermost so scratch carries state."""
+    import jax.numpy as jnp  # noqa: F811
+
+    ik = jax.lax.convert_element_type(_pl().program_id(2), jnp.int32)
+    num_k = _pl().num_programs(2)
+
+    @_pl().when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale                  # [bq, C]
+    k = k_ref[0].astype(jnp.float32)                          # [bk, C]
+    v = v_ref[0].astype(jnp.float32)                          # [bk, C]
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)   # [bq, bk]
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * corr + p.sum(axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @_pl().when(ik == num_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    return pl
+
+
+def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K) -> jnp.ndarray:
+    """Pallas flash attention. q,k,v: [B, T, C]; T divisible by blocks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, c = q.shape
+    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    scale = float(c) ** -0.5
+    grid = (b, t // block_q, t // block_k)
+
+    kernel = functools.partial(_flash_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((1, block_k, c), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((1, block_k, c), lambda ib, iq, ik: (ib, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda ib, iq, ik: (ib, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, c), jnp.float32),   # output accumulator
+        ],
+    )(q, k, v)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              use_flash: bool | None = None) -> jnp.ndarray:
+    """Dispatch: flash for long sequences on TPU, einsum otherwise."""
+    t = q.shape[1]
+    if use_flash is None:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        use_flash = (on_tpu and t >= _FLASH_MIN_TOKENS
+                     and t % _BLOCK_Q == 0 and t % _BLOCK_K == 0)
+    if use_flash:
+        return attention_flash(q, k, v)
+    return attention_xla(q, k, v)

@@ -1,0 +1,101 @@
+"""High-resolution tiled codec: pad -> tile -> batched per-tile codec -> stitch.
+
+Behavioral contract: /root/reference/inference_high_resolution.py —
+  - center zero-pad to a /16-divisible size (compute_padding :145-173)
+  - non-overlapping tile grid of `tile_size` px (+ remainder tiles)
+    (nonoverlapping_grid_indices :112-125)
+  - every tile compressed independently through the full codec
+  - bpp = sum(tile_bits) / original (unpadded) pixel count (:250,256)
+  - the reference's Gaussian tile blending is a mathematical no-op for
+    non-overlapping tiles (SURVEY.md §2.4.7) and is dropped.
+
+TPU-first differences: tiles of the same shape are *batched* through one
+jitted encode/decode (per-sample routing keeps each tile's streams identical
+to a solo pass), instead of a Python loop over 1-image programs. On a
+multi-device mesh the tile batch is sharded over the 'data' axis — tile
+parallelism without halo exchange, since tiles are independent by
+construction.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..codec import CGICCodec, EncodedImage
+
+
+def compute_padding(h: int, w: int, min_div: int = 16
+                    ) -> Tuple[Tuple[int, int, int, int],
+                               Tuple[int, int, int, int]]:
+    """(left, right, top, bottom) center padding to /min_div, + unpad."""
+    out_h = (h + min_div - 1) // min_div * min_div
+    out_w = (w + min_div - 1) // min_div * min_div
+    left = (out_w - w) // 2
+    right = out_w - w - left
+    top = (out_h - h) // 2
+    bottom = out_h - h - top
+    return (left, right, top, bottom), (-left, -right, -top, -bottom)
+
+
+def tile_grid(h: int, w: int, tile: int
+              ) -> List[Tuple[int, int, int, int]]:
+    """List of (y, x, th, tw) covering [h, w] with `tile`-px tiles plus
+    remainder tiles (reference grid semantics)."""
+    ys = list(range(0, h, tile))
+    xs = list(range(0, w, tile))
+    out = []
+    for y in ys:
+        for x in xs:
+            out.append((y, x, min(tile, h - y), min(tile, w - x)))
+    return out
+
+
+def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
+                   medium_ratio: float, tile: int = 768,
+                   mesh=None) -> Tuple[np.ndarray, float, List[EncodedImage]]:
+    """Compress an arbitrary-size image by independent tiles.
+
+    Args:
+      image: [H, W, 3] float.
+      mesh: optional jax Mesh — tile batches are sharded over its 'data'
+        axis for multi-device tile parallelism.
+
+    Returns (reconstruction [H, W, 3], bpp over original pixels, bundles).
+    """
+    h0, w0, _ = image.shape
+    (pl, pr, pt, pb), _ = compute_padding(h0, w0)
+    padded = np.pad(image, ((pt, pb), (pl, pr), (0, 0)))
+    h, w, _ = padded.shape
+
+    tiles = tile_grid(h, w, tile)
+    # group by shape so each group runs as one batched jitted program
+    groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for i, (y, x, th, tw) in enumerate(tiles):
+        # tiles must themselves be /16 (guaranteed: h, w are /16 and tile
+        # boundaries fall on multiples of min(tile, remaining))
+        groups[(th, tw)].append(i)
+
+    recon = np.zeros_like(padded)
+    bundles: List[Optional[EncodedImage]] = [None] * len(tiles)
+    total_bits = 0.0
+    for (th, tw), idxs in groups.items():
+        batch = np.stack([padded[tiles[i][0]:tiles[i][0] + th,
+                                 tiles[i][1]:tiles[i][1] + tw] for i in idxs])
+        if mesh is not None:
+            import jax
+            from .mesh import data_sharding
+            if batch.shape[0] % mesh.devices.size == 0:
+                batch = jax.device_put(batch, data_sharding(mesh))
+        encs = codec.encode_batch(batch, coarse_ratio, medium_ratio)
+        recs = codec.decode_batch(encs)
+        for j, i in enumerate(idxs):
+            y, x, _, _ = tiles[i]
+            recon[y:y + th, x:x + tw] = recs[j]
+            bundles[i] = encs[j]
+            total_bits += encs[j].num_bytes * 8
+
+    recon = recon[pt:h - pb if pb else h, pl:w - pr if pr else w]
+    bpp = total_bits / (h0 * w0)
+    return recon, bpp, [b for b in bundles if b is not None]

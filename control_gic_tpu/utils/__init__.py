@@ -1,0 +1,2 @@
+from .metrics import psnr
+from .checkpoint import save_checkpoint, restore_checkpoint, latest_step

@@ -1,0 +1,109 @@
+"""Entropy-coding tests: internal round-trips, C++ vs Python parity, and
+byte-exact cross-validation against the reference coder (imported from the
+read-only mount as a behavioral oracle when present)."""
+import os
+
+import numpy as np
+import pytest
+
+from control_gic_tpu.coding import HuffmanCodec, BitmapCodec, build_huffman_codes
+from control_gic_tpu.coding.native_lib import get_native
+
+REF = "/root/reference"
+
+
+def _random_freqs(rng, n=1024, zero_frac=0.3):
+    freqs = rng.integers(0, 10_000, size=n)
+    freqs[rng.random(n) < zero_frac] = 0
+    return {i: int(f) for i, f in enumerate(freqs)}
+
+
+def test_codes_are_prefix_free(rng):
+    codes = build_huffman_codes(_random_freqs(rng))
+    assert len(codes) == 1024
+    values = sorted(codes.values(), key=len)
+    for i, a in enumerate(values):
+        for b in values[i + 1:]:
+            assert not b.startswith(a), (a, b)
+
+
+def test_roundtrip_random_streams(rng):
+    codec = HuffmanCodec(_random_freqs(rng))
+    for size in [1, 7, 256, 4096]:
+        syms = rng.integers(0, 1024, size=size).astype(np.int32)
+        data = codec.encode(syms)
+        out = codec.decode(data)
+        np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+def test_empty_stream_contract(rng):
+    codec = HuffmanCodec(_random_freqs(rng))
+    assert codec.encode([]) == b""
+    assert codec.decode(b"") is None
+
+
+def test_native_matches_python(rng):
+    native = get_native()
+    assert native is not None, "C++ codec failed to build"
+    codec = HuffmanCodec(_random_freqs(rng))
+    syms = rng.integers(0, 1024, size=1000).astype(np.int32)
+    enc_native = native.huff_encode(syms, codec.lens, codec.code_bytes)
+    bits = "".join(codec.codes[int(s)] for s in syms)
+    from control_gic_tpu.coding.huffman import _frame_bits
+    assert enc_native == _frame_bits(bits)
+    dec = native.huff_decode(enc_native, codec.trie)
+    np.testing.assert_array_equal(dec, syms)
+
+
+def test_bitmap_roundtrip(rng):
+    codec = BitmapCodec()
+    for size in [1, 8, 256, 1024, 1023]:
+        bits = rng.integers(0, 2, size=size)
+        data = codec.encode(bits)
+        # frame size: header + ceil; pad rule gives 8 extra bits when aligned
+        pad = 8 - size % 8
+        assert len(data) == 1 + (size + pad) // 8
+        np.testing.assert_array_equal(codec.decode(data), bits)
+    assert codec.encode([]) == b""
+    assert codec.decode(b"") is None
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_byte_exact_vs_reference_huffman(rng, tmp_path):
+    """Same frequency table -> identical Huffman tree, codes and frames as
+    the reference implementation (including heapq tie behavior)."""
+    import sys
+    sys.path.insert(0, REF)
+    import torch
+    from CGIC.tools.indices_coding import HuffmanCoding as RefHuffman
+
+    freqs = _random_freqs(rng)
+    ref_freq_dict = {str(i): torch.tensor([float(f)]) for i, f in freqs.items()}
+    ref = RefHuffman(ref_freq_dict)
+    ours = HuffmanCodec(freqs)
+    assert ref.codes == ours.codes
+
+    syms = rng.integers(0, 1024, size=4096).astype(np.int32)
+    ref_path = ref.compress(torch.tensor(syms), str(tmp_path / "ref.bin"))
+    with open(ref_path, "rb") as f:
+        ref_bytes = f.read()
+    assert ours.encode(syms) == ref_bytes
+    assert ours.decode(ref_bytes) == ref.decompress_string(ref_path)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_byte_exact_vs_reference_bitmap(rng, tmp_path):
+    import sys
+    sys.path.insert(0, REF)
+    import torch
+    from CGIC.tools.mask_coding import BinaryCoding as RefBinary
+
+    ref = RefBinary()
+    ours = BitmapCodec()
+    bits = rng.integers(0, 2, size=256)
+    ref_path = ref.compress(torch.tensor(bits), str(tmp_path / "mask.bin"))
+    with open(ref_path, "rb") as f:
+        ref_bytes = f.read()
+    assert ours.encode(bits) == ref_bytes
+    np.testing.assert_array_equal(ours.decode(ref_bytes),
+                                  ref.decompress_string(ref_path))

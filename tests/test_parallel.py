@@ -1,0 +1,95 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: data-parallel
+training step, per-sample routing equivalence, tiled high-res codec."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from control_gic_tpu.models.cgic import CGIC, CGICConfig
+from control_gic_tpu.ops import triple_grain_router
+from control_gic_tpu.parallel.mesh import data_sharding, make_mesh, shard_batch
+
+TINY = CGICConfig(n_embed=32, embed_dim=4, z_channels=4, ch=32,
+                  ch_mult=(1, 1, 2, 2, 2), num_res_blocks=1,
+                  attn_resolutions=(8,), resolution=64)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_per_sample_router_matches_solo(rng):
+    """Batched per-sample routing == routing each sample alone (the
+    property tile batching relies on)."""
+    e16 = rng.uniform(0, 4, size=(3, 4, 4)).astype(np.float32)
+    e8 = rng.uniform(0, 4, size=(3, 8, 8)).astype(np.float32)
+    batched = triple_grain_router(jnp.asarray(e16), jnp.asarray(e8),
+                                  0.1, 0.4, per_sample=True)
+    for i in range(3):
+        solo = triple_grain_router(jnp.asarray(e16[i:i + 1]),
+                                   jnp.asarray(e8[i:i + 1]), 0.1, 0.4)
+        np.testing.assert_array_equal(np.asarray(batched.mask_coarse[i]),
+                                      np.asarray(solo.mask_coarse[0]))
+        np.testing.assert_array_equal(np.asarray(batched.mask_medium[i]),
+                                      np.asarray(solo.mask_medium[0]))
+        np.testing.assert_array_equal(np.asarray(batched.mask_fine[i]),
+                                      np.asarray(solo.mask_fine[0]))
+
+
+def test_tiled_codec_matches_solo_tiles(rng):
+    """Tiled compression of a 128x96 image with 64px tiles: every tile's
+    streams equal a solo encode of that tile; stitching reassembles."""
+    from control_gic_tpu.codec import CGICCodec
+    from control_gic_tpu.parallel.tiling import compress_tiled, tile_grid
+
+    model = CGIC(TINY)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), 0.1, 0.4)
+    codec = CGICCodec(model, variables,
+                      np.ones(TINY.n_embed, np.int64))
+    img = rng.uniform(0, 1, (128, 96, 3)).astype(np.float32)
+
+    rec, bpp, bundles = compress_tiled(codec, img, 0.1, 0.4, tile=64)
+    assert rec.shape == img.shape
+    assert np.isfinite(rec).all()
+    tiles = tile_grid(128, 96, 64)
+    assert len(bundles) == len(tiles)
+
+    # solo-tile parity for the first full tile
+    y, x, th, tw = tiles[0]
+    solo = codec.encode(img[y:y + th, x:x + tw], 0.1, 0.4)
+    # find the matching bundle (same grid order)
+    assert bundles[0].streams == solo.streams
+    # reconstruction patch parity
+    rec_solo = codec.decode(solo)
+    np.testing.assert_allclose(rec[y:y + th, x:x + tw], rec_solo,
+                               atol=1e-5, rtol=1e-5)
+    # bpp accounting: totals over original pixels
+    total_bits = sum(b.num_bytes * 8 for b in bundles)
+    assert bpp == pytest.approx(total_bits / (128 * 96))
+
+
+def test_data_parallel_train_step_runs(rng):
+    """One fused train step over the 8-device mesh: state advances, metrics
+    finite, codebook counters accumulate the global batch."""
+    from control_gic_tpu.train import TrainConfig, Trainer, create_train_state
+
+    mesh = make_mesh()
+    train_cfg = TrainConfig()
+    trainer = Trainer(TINY, train_cfg, mesh=mesh,
+                      data_sharding=data_sharding(mesh))
+    state = create_train_state(jax.random.PRNGKey(0), TINY, train_cfg,
+                               image_size=64)
+    batch = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    x = shard_batch(mesh, batch)
+    state, metrics = trainer.train_step(state, x)
+    assert int(state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    # every latent token counted once: 8 images * 16*16 tokens
+    assert int(state.codebook_counts.sum()) == 8 * 16 * 16
+    assert int(state.ema_num_updates) == 1
+
+    # second step: EMA decay path + counter accumulation
+    state2, _ = trainer.train_step(state, x)
+    assert int(state2.codebook_counts.sum()) == 2 * 8 * 16 * 16
