@@ -24,11 +24,15 @@ from ..models.cgic import CGICConfig
 from ..parallel.mesh import data_sharding, make_mesh, shard_batch
 from ..train import TrainConfig, Trainer, create_train_state
 from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from ..utils.logging import ImageLogger, MetricLogger, log_schedule_hit
 from .common import enable_compilation_cache
 
 
 def get_parser():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML config (configs/train.yaml); CLI flags "
+                        "override its trainer/data entries")
     p.add_argument("--train-dir", type=str, required=True)
     p.add_argument("--val-dir", type=str, default=None)
     p.add_argument("--steps", type=int, default=165_000)
@@ -45,6 +49,8 @@ def get_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--log-dir", type=str, default="./logs")
+    p.add_argument("--wandb", action="store_true")
     return p
 
 
@@ -57,10 +63,20 @@ def main(argv=None):
     assert args.batch_size % n_dev == 0, (args.batch_size, n_dev)
     print(f"devices={n_dev} global_batch={args.batch_size}")
 
-    model_cfg = CGICConfig(resolution=args.image_size, dtype=args.dtype)
-    train_cfg = TrainConfig(learning_rate=args.lr,
-                            coarse_ratio=args.ratios[0],
-                            medium_ratio=args.ratios[1])
+    if args.config:
+        import dataclasses
+        from ..config import load_config
+        run_cfg = load_config(args.config)
+        model_cfg = dataclasses.replace(run_cfg.model,
+                                        resolution=args.image_size)
+        train_cfg = dataclasses.replace(run_cfg.train,
+                                        coarse_ratio=args.ratios[0],
+                                        medium_ratio=args.ratios[1])
+    else:
+        model_cfg = CGICConfig(resolution=args.image_size, dtype=args.dtype)
+        train_cfg = TrainConfig(learning_rate=args.lr,
+                                coarse_ratio=args.ratios[0],
+                                medium_ratio=args.ratios[1])
     trainer = Trainer(model_cfg, train_cfg, mesh=mesh,
                       data_sharding=data_sharding(mesh))
 
@@ -81,6 +97,9 @@ def main(argv=None):
         val_ds = ImageFolderDataset(args.val_dir, args.image_size)
         val_batches = [val_ds[i] for i in range(min(16, len(val_ds)))]
 
+    metric_log = MetricLogger(args.log_dir, use_wandb=args.wandb)
+    image_log = ImageLogger(args.log_dir)
+
     t0 = time.time()
     seen = 0
     for step, batch in enumerate(batches, start=start):
@@ -93,10 +112,15 @@ def main(argv=None):
         if step % args.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             ips = seen / (time.time() - t0 + 1e-9)
+            metric_log.log(step, {**metrics, "images_per_sec": ips})
             print(f"step {step}: "
                   + " ".join(f"{k.split('/')[-1]}={v:.4f}"
                              for k, v in sorted(metrics.items()))
                   + f" ({ips:.2f} img/s)")
+        if log_schedule_hit(step):
+            rec, gi = trainer.recon_step(state, x)
+            image_log.log(step, np.asarray(batch), np.asarray(rec),
+                          np.asarray(gi))
         if val_batches and step and step % args.val_every == 0:
             vx = shard_batch(mesh, np.stack(val_batches[:args.batch_size]))
             vm = {k: float(v) for k, v in trainer.eval_step(state, vx).items()}

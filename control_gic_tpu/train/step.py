@@ -55,6 +55,15 @@ class Trainer:
             )
         self.train_step = jax.jit(self._train_step, **kwargs)
         self.eval_step = jax.jit(self._eval_step)
+        self.recon_step = jax.jit(self._recon_step)
+
+    def _recon_step(self, state: TrainState, x: jnp.ndarray):
+        """Reconstruction + partition map for image logging."""
+        cfg = self.train_cfg
+        rec, enc = self.model.apply(
+            {"params": state.gen_params}, x, cfg.coarse_ratio,
+            cfg.medium_ratio)
+        return rec, enc.grain_indices
 
     # ------------------------------------------------------------------ step
 

@@ -105,8 +105,8 @@ def _attn_paths(prefix: Tuple[str, ...], zq_cond: bool, key: str,
 
 def _groupnorm_paths(prefix: Tuple[str, ...], key_rest: str, out: dict,
                      val: np.ndarray) -> bool:
-    sub = {"weight": ("group", "norm", "scale"),
-           "bias": ("group", "norm", "bias")}
+    """Bare GroupNorm32 (e.g. the encoder heads' norm_out): path <prefix>/norm."""
+    sub = {"weight": ("norm", "scale"), "bias": ("norm", "bias")}
     if key_rest not in sub:
         return False
     _set(out, prefix + sub[key_rest], val)

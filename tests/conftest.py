@@ -1,19 +1,18 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax initializes any backend, hence module level
-in conftest (imported by pytest before the test modules).
+NOTE: in some environments a TPU platform plugin overrides the JAX_PLATFORMS
+env var, so env-based selection silently fails; the config API is
+authoritative. Must run before any backend initialization, hence module
+level in conftest (imported by pytest before the test modules).
 """
 import os
-
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: CPU compiles of the full model take minutes
 # on small hosts; cache them across test runs.
