@@ -24,8 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser(f"~/.cache/jax_cache_{jax.default_backend()}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from control_gic_tpu.models import CGIC, CGICConfig
@@ -45,18 +46,33 @@ def main():
     @jax.jit
     def roundtrip(variables, x):
         rec, enc = model.apply(variables, x, 0.1, 0.4)
-        return rec, enc.indices
+        # f32 output keeps the chained-input signature identical to x's
+        # (a dtype change would silently recompile inside the timed loop)
+        return rec.astype(jnp.float32), enc.indices
 
+    # Timing methodology: the experimental TPU runtime dedupes repeated
+    # identical executions and its block_until_ready is unreliable for
+    # batched async dispatch, both of which inflate naive loops ~100x.
+    # Chain the iterations (output -> next input, same shape/dtype) so no
+    # execution can be elided or reordered, and end with a host fetch of a
+    # scalar reduced from the final output.
     x = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)), jnp.float32)
-    # warmup / compile
-    rec, ind = roundtrip(variables, x)
-    jax.block_until_ready(rec)
+    rec, ind = roundtrip(variables, x)          # warmup / compile
+    float(jnp.sum(rec))
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     t0 = time.perf_counter()
+    cur = x
     for _ in range(iters):
-        rec, ind = roundtrip(variables, x)
-    jax.block_until_ready(rec)
+        cur, ind = roundtrip(variables, cur)
+    _ = float(jnp.sum(cur))                     # forces the whole chain
     dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     imgs_per_sec = batch * iters / dt
     baseline = 3.0 * 12.5   # 3x assumed A100 reference round-trip (module doc)

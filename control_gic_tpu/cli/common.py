@@ -13,18 +13,26 @@ from ..models import CGIC, CGICConfig
 
 
 def enable_compilation_cache():
+    # per-backend cache dir: entries AOT-compiled for one machine/backend
+    # must not be loaded by another (SIGILL risk / loud warnings)
+    backend = jax.default_backend()
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                      os.path.expanduser(
-                                         "~/.cache/jax_comp_cache")))
+                                         f"~/.cache/jax_cache_{backend}")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def build_codec(ckpt: Optional[str] = None,
                 config: CGICConfig = CGICConfig(),
-                seed: int = 0) -> CGICCodec:
+                seed: int = 0, use_ema: bool = False) -> CGICCodec:
     """Construct a CGICCodec from either an orbax checkpoint directory, a
-    reference torch .ckpt (ported on the fly), or random init (no ckpt)."""
+    reference torch .ckpt (ported on the fly), or random init (no ckpt).
+
+    use_ema selects the EMA shadow weights from a training checkpoint
+    (smoother reconstructions late in training; the reference carries EMA
+    shadows in its checkpoints but never consumes them — SURVEY.md §2 item
+    12 — so default False matches its behavior)."""
     model = CGIC(config)
     counts = np.ones(config.n_embed, np.int64)
 
@@ -40,7 +48,8 @@ def build_codec(ckpt: Optional[str] = None,
         restored = restore_checkpoint(ckpt)
         # accept either a raw variables dict or a TrainState-like dict
         if "gen_params" in restored:
-            variables = {"params": restored["gen_params"]}
+            which = "ema_params" if use_ema else "gen_params"
+            variables = {"params": restored[which]}
             counts = np.asarray(restored["codebook_counts"])
             if counts.sum() == 0:
                 counts = np.ones_like(counts)

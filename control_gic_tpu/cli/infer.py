@@ -28,6 +28,8 @@ def get_parser():
     p.add_argument("-i", "--images_dir", type=str, required=True)
     p.add_argument("-o", "--output_dir", type=str, default="./output")
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--use-ema", action="store_true",
+                   help="use EMA shadow weights from a training checkpoint")
     p.add_argument("--ratios", type=float, nargs=2, default=(0.1, 0.4),
                    metavar=("COARSE", "MEDIUM"),
                    help="(coarse, medium) grain ratios; fine = 1 - c - m")
@@ -43,7 +45,7 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     stream_dir = os.path.join(args.output_dir, "streams")
-    codec = build_codec(args.ckpt)
+    codec = build_codec(args.ckpt, use_ema=args.use_ema)
     dataset = EvalImageDataset(args.images_dir,
                                images_range=tuple(args.images_range))
     print(f"Found {len(dataset)} images; ratios=({rc}, {rm}, "

@@ -58,6 +58,10 @@ MODE_STREAMS = {
 }
 
 
+class CorruptStreamError(ValueError):
+    """A bitstream decoded to an inconsistent symbol count for its mask."""
+
+
 @dataclasses.dataclass
 class EncodedImage:
     """The bitstream bundle for one image."""
@@ -215,11 +219,15 @@ class CGICCodec:
         mode = encoded.mode
         get = lambda n: encoded.streams[n]
 
-        def scatter(mask: np.ndarray, data: Optional[List[int]]) -> np.ndarray:
+        def scatter(mask: np.ndarray, data: Optional[List[int]],
+                    name: str = "indices") -> np.ndarray:
             grid = np.zeros(mask.shape, np.int64)
             if data is not None:
                 sel = mask == 1
-                assert sel.sum() == len(data), (sel.sum(), len(data))
+                if sel.sum() != len(data):
+                    raise CorruptStreamError(
+                        f"stream '{name}' decoded {len(data)} symbols but "
+                        f"its mask selects {int(sel.sum())} positions")
                 grid[sel] = np.asarray(data, np.int64)
             return grid
 
@@ -233,33 +241,42 @@ class CGICCodec:
             m_m = np.asarray(self.bitmap.decode(get("mask_medium")),
                              np.int64).reshape(hl // 2, wl // 2)
             m_f = 1 - _up2(m_m) - _up4(m_c)
-            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")))
-            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")))
-            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")))
+            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")),
+                        "indices_coarse")
+            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")),
+                        "indices_medium")
+            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")),
+                        "indices_fine")
             ind = g_f + _up2(g_m) + _up4(g_c)
         elif mode == 1:
             m_m = np.asarray(self.bitmap.decode(get("mask_medium")),
                              np.int64).reshape(hl // 2, wl // 2)
             m_f = 1 - _up2(m_m)
             m_c = zeros_c
-            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")))
-            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")))
+            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")),
+                        "indices_medium")
+            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")),
+                        "indices_fine")
             ind = g_f + _up2(g_m)
         elif mode == 2:
             m_c = np.asarray(self.bitmap.decode(get("mask_coarse")),
                              np.int64).reshape(hl // 4, wl // 4)
             m_f = 1 - _up4(m_c)
             m_m = zeros_m
-            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")))
-            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")))
+            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")),
+                        "indices_coarse")
+            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")),
+                        "indices_fine")
             ind = g_f + _up4(g_c)
         elif mode == 3:
             m_c = np.asarray(self.bitmap.decode(get("mask_coarse")),
                              np.int64).reshape(hl // 4, wl // 4)
             m_m = 1 - _up2(m_c)
             m_f = zeros_f
-            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")))
-            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")))
+            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")),
+                        "indices_coarse")
+            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")),
+                        "indices_medium")
             ind = _up4(g_c) + _up2(g_m)
         elif mode == 4:
             data = self.huffman.decode(get("indices_coarse"))

@@ -48,7 +48,9 @@ class TrainState(struct.PyTreeNode):
     opt_disc: Any
     ema_params: Any                      # shadow of gen_params
     ema_num_updates: jnp.ndarray         # int32 scalar
-    codebook_counts: jnp.ndarray         # [n_embed] int64
+    codebook_counts: jnp.ndarray         # [n_embed] uint32 (Huffman freq
+                                         # table needs relative counts only;
+                                         # 4e9 tokens/code before wrap)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -87,7 +89,7 @@ def create_train_state(rng: jax.Array, model_cfg: CGICConfig,
         opt_disc=opt.init(disc_params),
         ema_params=jax.tree_util.tree_map(jnp.copy, gen_params),
         ema_num_updates=jnp.zeros((), jnp.int32),
-        codebook_counts=jnp.zeros((model_cfg.n_embed,), jnp.int64),
+        codebook_counts=jnp.zeros((model_cfg.n_embed,), jnp.uint32),
     )
 
 

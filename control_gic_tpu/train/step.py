@@ -119,7 +119,7 @@ class Trainer:
         ema_params, ema_n = ema_update(
             state.ema_params, gen_params, state.ema_num_updates,
             cfg.ema_decay)
-        counts = state.codebook_counts + enc.counts.astype(jnp.int64)
+        counts = state.codebook_counts + enc.counts.astype(jnp.uint32)
 
         metrics = {f"train/{k}": v for k, v in {**g_metrics,
                                                 **d_metrics}.items()}

@@ -18,7 +18,7 @@ jax.config.update("jax_num_cpu_devices", 8)
 # on small hosts; cache them across test runs.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 os.path.expanduser("~/.cache/jax_comp_cache")))
+                                 os.path.expanduser("~/.cache/jax_cache_cpu")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
