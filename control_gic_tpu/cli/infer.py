@@ -35,6 +35,10 @@ def get_parser():
                    help="(coarse, medium) grain ratios; fine = 1 - c - m")
     p.add_argument("-w", "--write_partition_map", action="store_true")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
+    p.add_argument("--lpips", action="store_true",
+                   help="also report LPIPS (NOTE: needs ported AlexNet "
+                        "weights for values comparable to published "
+                        "numbers; random-init otherwise, see models/lpips)")
     return p
 
 
@@ -51,7 +55,24 @@ def main(argv=None):
     print(f"Found {len(dataset)} images; ratios=({rc}, {rm}, "
           f"{1 - rc - rm:.3f})")
 
-    bpps, psnrs = [], []
+    lpips_fn = None
+    if args.lpips:
+        import jax
+        import jax.numpy as jnp
+        from ..models.lpips import LPIPS
+        lpips_mod = LPIPS()
+        lpips_vars = lpips_mod.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 3)))
+        print("WARNING: LPIPS backbone is random-init unless weights were "
+              "ported; values are relative only.")
+
+        def lpips_fn(a, b):
+            return float(lpips_mod.apply(
+                lpips_vars, jnp.asarray(a)[None], jnp.asarray(b)[None],
+                normalize=True)[0])
+
+    bpps, psnrs, lpipses = [], [], []
     log_path = os.path.join(args.output_dir, "bpp.txt")
     with open(log_path, "w") as log:
         for k in range(len(dataset)):
@@ -62,6 +83,8 @@ def main(argv=None):
             p = psnr(np.clip(rec, 0, 1), img)
             bpps.append(bpp)
             psnrs.append(p)
+            if lpips_fn is not None:
+                lpipses.append(lpips_fn(np.clip(rec, 0, 1), img))
             save_png(os.path.join(args.output_dir, f"{k:03d}_{bpp:0.5f}.png"),
                      rec)
             if args.write_partition_map:
@@ -73,11 +96,14 @@ def main(argv=None):
                 save_png(os.path.join(args.output_dir, f"{k:03d}_map.png"),
                          pm[0])
             line = (f"{k:03d}: bpp={bpp:.5f} psnr={p:.2f}dB "
-                    f"mode={enc.mode} {dt:.2f}s")
+                    + (f"lpips={lpipses[-1]:.5f} " if lpipses else "")
+                    + f"mode={enc.mode} {dt:.2f}s")
             print(line)
             log.write(line + "\n")
         avg = (f"average: bpp={np.mean(bpps):.5f} "
-               f"psnr={np.mean(psnrs):.2f}dB over {len(bpps)} images")
+               f"psnr={np.mean(psnrs):.2f}dB "
+               + (f"lpips={np.mean(lpipses):.5f} " if lpipses else "")
+               + f"over {len(bpps)} images")
         print(avg)
         log.write(avg + "\n")
 

@@ -28,6 +28,9 @@ def get_parser():
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--ratios", type=float, nargs=2, default=(0.1, 0.4))
     p.add_argument("--tile", type=int, default=768)
+    p.add_argument("--overlap", type=int, default=0,
+                   help="tile overlap in px (multiple of 16); >0 blends "
+                        "overlapped tiles with a Gaussian window")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard tile batches over this many devices (0 = off)")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
@@ -56,7 +59,8 @@ def main(argv=None):
             img = dataset[k]
             t0 = time.time()
             rec, bpp, _ = compress_tiled(codec, img, rc, rm,
-                                         tile=args.tile, mesh=mesh)
+                                         tile=args.tile,
+                                         overlap=args.overlap, mesh=mesh)
             dt = time.time() - t0
             p = psnr(np.clip(rec, 0, 1), img)
             bpps.append(bpp)

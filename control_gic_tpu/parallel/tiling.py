@@ -52,24 +52,66 @@ def tile_grid(h: int, w: int, tile: int
     return out
 
 
+def overlapping_tile_grid(h: int, w: int, tile: int, overlap: int
+                          ) -> List[Tuple[int, int, int, int]]:
+    """Equal-size tiles at stride tile-overlap, last tile snapped to the
+    border so coverage is complete. Falls back to the non-overlapping grid
+    along a dim smaller than `tile`."""
+    def starts(dim):
+        if dim <= tile:
+            return [0]
+        stride = tile - overlap
+        s = list(range(0, dim - tile + 1, stride))
+        if s[-1] != dim - tile:
+            s.append(dim - tile)
+        return s
+
+    out = []
+    for y in starts(h):
+        for x in starts(w):
+            out.append((y, x, min(tile, h - y), min(tile, w - x)))
+    return out
+
+
+def gaussian_tile_weights(th: int, tw: int) -> np.ndarray:
+    """Per-pixel blending weights for overlapped tiles (the reference's
+    _gaussian_weights, inference_high_resolution.py:127-143: var 0.01,
+    normalized Gaussian over relative position). [th, tw] float32."""
+    var = 0.01
+    mid_w = (tw - 1) / 2
+    xp = np.exp(-((np.arange(tw) - mid_w) ** 2) / (tw * tw) / (2 * var)) \
+        / np.sqrt(2 * np.pi * var)
+    mid_h = th / 2
+    yp = np.exp(-((np.arange(th) - mid_h) ** 2) / (th * th) / (2 * var)) \
+        / np.sqrt(2 * np.pi * var)
+    return np.outer(yp, xp).astype(np.float32)
+
+
 def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
                    medium_ratio: float, tile: int = 768,
+                   overlap: int = 0,
                    mesh=None) -> Tuple[np.ndarray, float, List[EncodedImage]]:
     """Compress an arbitrary-size image by independent tiles.
 
     Args:
       image: [H, W, 3] float.
+      overlap: 0 (default) reproduces the reference's non-overlapping grid
+        bit-exactly. >0 (multiple of 16) overlaps tiles and blends them
+        with the reference's Gaussian window — removes visible seams at the
+        cost of re-coding the overlapped pixels (higher bpp).
       mesh: optional jax Mesh — tile batches are sharded over its 'data'
         axis for multi-device tile parallelism.
 
     Returns (reconstruction [H, W, 3], bpp over original pixels, bundles).
     """
+    assert overlap % 16 == 0 and 0 <= overlap < tile, overlap
     h0, w0, _ = image.shape
     (pl, pr, pt, pb), _ = compute_padding(h0, w0)
     padded = np.pad(image, ((pt, pb), (pl, pr), (0, 0)))
     h, w, _ = padded.shape
 
-    tiles = tile_grid(h, w, tile)
+    tiles = (tile_grid(h, w, tile) if overlap == 0
+             else overlapping_tile_grid(h, w, tile, overlap))
     # group by shape so each group runs as one batched jitted program
     groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
     for i, (y, x, th, tw) in enumerate(tiles):
@@ -77,7 +119,8 @@ def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
         # boundaries fall on multiples of min(tile, remaining))
         groups[(th, tw)].append(i)
 
-    recon = np.zeros_like(padded)
+    recon = np.zeros_like(padded, dtype=np.float32)
+    weight = np.zeros(padded.shape[:2] + (1,), np.float32)
     bundles: List[Optional[EncodedImage]] = [None] * len(tiles)
     total_bits = 0.0
     for (th, tw), idxs in groups.items():
@@ -90,12 +133,16 @@ def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
                 batch = jax.device_put(batch, data_sharding(mesh))
         encs = codec.encode_batch(batch, coarse_ratio, medium_ratio)
         recs = codec.decode_batch(encs)
+        wt = (gaussian_tile_weights(th, tw)[..., None] if overlap
+              else np.ones((th, tw, 1), np.float32))
         for j, i in enumerate(idxs):
             y, x, _, _ = tiles[i]
-            recon[y:y + th, x:x + tw] = recs[j]
+            recon[y:y + th, x:x + tw] += recs[j] * wt
+            weight[y:y + th, x:x + tw] += wt
             bundles[i] = encs[j]
             total_bits += encs[j].num_bytes * 8
 
+    recon = recon / np.maximum(weight, 1e-12)
     recon = recon[pt:h - pb if pb else h, pl:w - pr if pr else w]
     bpp = total_bits / (h0 * w0)
     return recon, bpp, [b for b in bundles if b is not None]
