@@ -127,6 +127,30 @@ class CGICCodec:
                     method=CGIC.encode))
         return self._encode_fns[key]
 
+    def streams_from_arrays(self, ind: np.ndarray, m_c: np.ndarray,
+                            m_m: np.ndarray, m_f: np.ndarray, mode: int,
+                            image_hw: Tuple[int, int]) -> EncodedImage:
+        """Entropy-code one image's index grid + masks into a bundle.
+
+        Per-grain streams subsample the fine grid at each grain's stride,
+        then boolean-gather in row-major order (model.py:219-221)."""
+        streams: Dict[str, bytes] = {}
+        present = MODE_STREAMS[mode]
+        if "indices_coarse" in present:
+            streams["indices_coarse"] = self.huffman.encode(
+                ind[::4, ::4][m_c == 1])
+        if "indices_medium" in present:
+            streams["indices_medium"] = self.huffman.encode(
+                ind[::2, ::2][m_m == 1])
+        if "indices_fine" in present:
+            streams["indices_fine"] = self.huffman.encode(ind[m_f == 1])
+        if "mask_coarse" in present:
+            streams["mask_coarse"] = self.bitmap.encode(m_c.reshape(-1))
+        if "mask_medium" in present:
+            streams["mask_medium"] = self.bitmap.encode(m_m.reshape(-1))
+        return EncodedImage(mode=mode, latent_hw=ind.shape,
+                            image_hw=image_hw, streams=streams)
+
     def encode(self, image: np.ndarray, coarse_ratio: float,
                medium_ratio: float) -> EncodedImage:
         """image: [H, W, 3] float in the eval range [0, 1] (or [-1, 1] for
@@ -138,34 +162,14 @@ class CGICCodec:
         enc = self._encode_fn(float(coarse_ratio), float(medium_ratio))(
             self.variables, x)
 
-        ind = np.asarray(enc.indices[0])                       # [Hl, Wl]
-        m_c = np.asarray(enc.router.mask_coarse[0])            # [Hl/4, Wl/4]
-        m_m = np.asarray(enc.router.mask_medium[0])
-        m_f = np.asarray(enc.router.mask_fine[0])
         # mode is trace-static (derived from the static ratios) but jit
         # returns it as a device scalar; bring it back to a Python int.
-        mode = int(enc.router.mode)
-
-        # per-grain streams: subsample the fine grid at each grain's stride,
-        # then boolean-gather in row-major order (model.py:219-221)
-        ind_coarse = ind[::4, ::4][m_c == 1]
-        ind_medium = ind[::2, ::2][m_m == 1]
-        ind_fine = ind[m_f == 1]
-
-        streams: Dict[str, bytes] = {}
-        if "indices_coarse" in MODE_STREAMS[mode]:
-            streams["indices_coarse"] = self.huffman.encode(ind_coarse)
-        if "indices_medium" in MODE_STREAMS[mode]:
-            streams["indices_medium"] = self.huffman.encode(ind_medium)
-        if "indices_fine" in MODE_STREAMS[mode]:
-            streams["indices_fine"] = self.huffman.encode(ind_fine)
-        if "mask_coarse" in MODE_STREAMS[mode]:
-            streams["mask_coarse"] = self.bitmap.encode(m_c.reshape(-1))
-        if "mask_medium" in MODE_STREAMS[mode]:
-            streams["mask_medium"] = self.bitmap.encode(m_m.reshape(-1))
-
-        return EncodedImage(mode=mode, latent_hw=ind.shape,
-                            image_hw=(h, w), streams=streams)
+        return self.streams_from_arrays(
+            np.asarray(enc.indices[0]),
+            np.asarray(enc.router.mask_coarse[0]),
+            np.asarray(enc.router.mask_medium[0]),
+            np.asarray(enc.router.mask_fine[0]),
+            int(enc.router.mode), (h, w))
 
     def encode_batch(self, images: np.ndarray, coarse_ratio: float,
                      medium_ratio: float) -> List[EncodedImage]:
@@ -185,29 +189,9 @@ class CGICCodec:
         m_m = np.asarray(enc.router.mask_medium)
         m_f = np.asarray(enc.router.mask_fine)
         mode = int(enc.router.mode)
-
-        out = []
-        for i in range(n):
-            streams: Dict[str, bytes] = {}
-            present = MODE_STREAMS[mode]
-            if "indices_coarse" in present:
-                streams["indices_coarse"] = self.huffman.encode(
-                    ind[i, ::4, ::4][m_c[i] == 1])
-            if "indices_medium" in present:
-                streams["indices_medium"] = self.huffman.encode(
-                    ind[i, ::2, ::2][m_m[i] == 1])
-            if "indices_fine" in present:
-                streams["indices_fine"] = self.huffman.encode(
-                    ind[i][m_f[i] == 1])
-            if "mask_coarse" in present:
-                streams["mask_coarse"] = self.bitmap.encode(
-                    m_c[i].reshape(-1))
-            if "mask_medium" in present:
-                streams["mask_medium"] = self.bitmap.encode(
-                    m_m[i].reshape(-1))
-            out.append(EncodedImage(mode=mode, latent_hw=ind.shape[1:],
-                                    image_hw=(h, w), streams=streams))
-        return out
+        return [self.streams_from_arrays(ind[i], m_c[i], m_m[i], m_f[i],
+                                         mode, (h, w))
+                for i in range(n)]
 
     # ---------------------------------------------------------------- decode
 
