@@ -33,6 +33,10 @@ def get_parser():
                         "overlapped tiles with a Gaussian window")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard tile batches over this many devices (0 = off)")
+    p.add_argument("--spatial", action="store_true",
+                   help="fused single-pass sharded codec over the mesh "
+                        "instead of independent tiles (no seams, one "
+                        "global routing decision); needs --mesh-devices")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
     return p
 
@@ -58,9 +62,14 @@ def main(argv=None):
         for k in range(len(dataset)):
             img = dataset[k]
             t0 = time.time()
-            rec, bpp, _ = compress_tiled(codec, img, rc, rm,
-                                         tile=args.tile,
-                                         overlap=args.overlap, mesh=mesh)
+            if args.spatial:
+                assert mesh is not None, "--spatial requires --mesh-devices"
+                from ..parallel.spatial_codec import compress_spatial
+                rec, bpp, _ = compress_spatial(codec, img, rc, rm, mesh)
+            else:
+                rec, bpp, _ = compress_tiled(codec, img, rc, rm,
+                                             tile=args.tile,
+                                             overlap=args.overlap, mesh=mesh)
             dt = time.time() - t0
             p = psnr(np.clip(rec, 0, 1), img)
             bpps.append(bpp)

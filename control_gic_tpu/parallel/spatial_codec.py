@@ -29,8 +29,19 @@ def compress_spatial(codec: CGICCodec, image: np.ndarray,
                      coarse_ratio: float, medium_ratio: float,
                      mesh: Mesh, axis: str = "data"
                      ) -> Tuple[np.ndarray, float, EncodedImage]:
-    """Single-pass sharded compress of [H, W, 3] (H divisible by
-    64 * mesh size). Returns (reconstruction, bpp, bundle)."""
+    """Single-pass sharded compress of [H, W, 3]. Arbitrary sizes are
+    center zero-padded to H % (64 * mesh) == 0, W % 16 == 0 (the sharded
+    encoder's alignment), and the reconstruction unpadded; bpp is over the
+    original pixels (the padded rows' bits are part of the stream, like
+    the reference's padded tiles). Returns (reconstruction, bpp, bundle)."""
+    from .tiling import compute_padding
+
+    n = mesh.shape[axis]
+    h0, w0, _ = image.shape
+    (pl, pr, _, _), _ = compute_padding(h0, w0, min_div=16)
+    (_, _, pt, pb), _ = compute_padding(h0, w0, min_div=64 * n)
+    if pl or pr or pt or pb:
+        image = np.pad(image, ((pt, pb), (pl, pr), (0, 0)))
     h, w, _ = image.shape
     cfg = codec.model.config
     params = codec.variables["params"]
@@ -51,7 +62,10 @@ def compress_spatial(codec: CGICCodec, image: np.ndarray,
         np.asarray(masks[1][0]), np.asarray(masks[2][0]), mode, (h, w))
 
     rec = decode_spatial(codec, encoded, mesh, axis=axis)
-    return rec, encoded.bpp, encoded
+    if pl or pr or pt or pb:
+        rec = rec[pt:h - pb if pb else h, pl:w - pr if pr else w]
+    bpp = encoded.num_bytes * 8 / (h0 * w0)
+    return rec, bpp, encoded
 
 
 def decode_spatial(codec: CGICCodec, encoded: EncodedImage, mesh: Mesh,
