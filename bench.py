@@ -43,32 +43,34 @@ def main():
     x0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0, 0.1, 0.4)
 
-    @jax.jit
-    def roundtrip(variables, x):
-        rec, enc = model.apply(variables, x, 0.1, 0.4)
-        # f32 output keeps the chained-input signature identical to x's
-        # (a dtype change would silently recompile inside the timed loop)
-        return rec.astype(jnp.float32), enc.indices
-
     # Timing methodology: the experimental TPU runtime dedupes repeated
     # identical executions and its block_until_ready is unreliable for
-    # batched async dispatch, both of which inflate naive loops ~100x.
-    # Chain the iterations (output -> next input, same shape/dtype) so no
-    # execution can be elided or reordered, and end with a host fetch of a
-    # scalar reduced from the final output.
-    x = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)), jnp.float32)
-    rec, ind = roundtrip(variables, x)          # warmup / compile
-    float(jnp.sum(rec))
+    # batched async dispatch, both of which inflate naive host loops ~100x.
+    # Run all iterations inside ONE jitted lax.scan over distinct inputs
+    # (single dispatch, single scalar fetch) — pure device time, nothing
+    # can be elided, reordered, or left pending.
+    @jax.jit
+    def roundtrip_scan(variables, xs):
+        def body(acc, x):
+            rec, enc = model.apply(variables, x, 0.1, 0.4)
+            return acc + jnp.sum(rec.astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+        return acc
+
+    # separate warmup input: the runtime caches repeat executions of an
+    # identical (fn, args) pair, so the timed call must differ
+    xs_warm = jnp.asarray(rng.uniform(0, 1, (iters, batch, 256, 256, 3)),
+                          jnp.float32)
+    xs = jnp.asarray(rng.uniform(0, 1, (iters, batch, 256, 256, 3)),
+                     jnp.float32)
+    float(roundtrip_scan(variables, xs_warm))   # warmup / compile
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
     t0 = time.perf_counter()
-    cur = x
-    for _ in range(iters):
-        cur, ind = roundtrip(variables, cur)
-    _ = float(jnp.sum(cur))                     # forces the whole chain
+    _ = float(roundtrip_scan(variables, xs))
     dt = time.perf_counter() - t0
 
     if profile_dir:

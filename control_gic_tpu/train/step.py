@@ -46,8 +46,6 @@ class Trainer:
 
         kwargs = {}
         if mesh is not None and data_sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            replicated = NamedSharding(mesh, P())
             kwargs = dict(
                 in_shardings=(None, data_sharding),
                 out_shardings=(None, None),
