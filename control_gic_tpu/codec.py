@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .coding import BitmapCodec, HuffmanCodec
-from .models.cgic import CGIC, CGICConfig
+from .models.cgic import CGIC
 
 STREAM_FILES = {
     "indices_coarse": "indices_coarse.bin",

@@ -17,7 +17,7 @@ import glob as globlib
 import os
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -85,9 +85,10 @@ class EvalImageDataset:
         img = Image.open(self.paths[i]).convert("RGB")
         w, h = img.size
         tw, th = (w // 16) * 16, (h // 16) * 16
-        left, top = (w - tw) // 2, (h - th) // 2
-        # torch center_crop rounds differently for odd margins; use the same
-        # (H - th) // 2 floor rule it applies via round():
+        # torchvision center_crop computes the origin with round() — banker's
+        # rounding on the half-pixel for odd margins (inference.py:62-67);
+        # match it so crops (and therefore streams) are identical.
+        left, top = round((w - tw) / 2), round((h - th) / 2)
         img = img.crop((left, top, left + tw, top + th))
         return np.asarray(img, np.float32) / 255.0       # [H, W, 3] in [0,1]
 

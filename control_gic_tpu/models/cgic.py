@@ -16,7 +16,7 @@ the TPU analog of the reference's Python mode dispatch.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ epilogues. Codebook lookups are `jnp.take` gathers.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ of downsampling + coarse-mask alignment).
 """
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

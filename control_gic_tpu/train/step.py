@@ -17,8 +17,7 @@ Lightning-DDP/NCCL (config_train.yaml:9-12).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

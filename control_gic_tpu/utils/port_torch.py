@@ -12,7 +12,7 @@ torch is only needed to *read* .ckpt files; everything returned is numpy.
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
