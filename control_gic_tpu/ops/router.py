@@ -62,6 +62,13 @@ def triple_grain_router(e16: jnp.ndarray, e8: jnp.ndarray,
     coarse_ratio = float(coarse_ratio)
     medium_ratio = float(medium_ratio)
     fine_ratio = 1.0 - coarse_ratio - medium_ratio
+    if not (0.0 <= coarse_ratio <= 1.0 and 0.0 <= medium_ratio <= 1.0
+            and fine_ratio >= -1e-9):
+        raise ValueError(
+            f"invalid grain ratios: coarse={coarse_ratio} "
+            f"medium={medium_ratio} (fine = 1 - c - m = {fine_ratio}); "
+            "each must be in [0, 1] and sum to at most 1")
+    fine_ratio = max(fine_ratio, 0.0)
 
     b, h16, w16 = e16.shape
     _, h8, w8 = e8.shape
