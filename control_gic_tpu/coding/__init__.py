@@ -1,2 +1,3 @@
 from .huffman import HuffmanCodec, build_huffman_codes
+from .huffman_tpu import encode_on_device, huffman_pack_bits, pack_tables, supports_table
 from .bitmap import BitmapCodec
