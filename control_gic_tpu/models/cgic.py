@@ -45,6 +45,7 @@ class CGICConfig:
     beta: float = 0.25
     entropy_patch_sizes: Tuple[int, int] = (8, 16)
     dtype: str = "float32"
+    remat: bool = False   # rematerialize blocks under grad (needs dropout 0)
 
     @property
     def compute_dtype(self):
@@ -70,12 +71,13 @@ class CGIC(nn.Module):
         self.encoder = Encoder(
             ch=c.ch, ch_mult=c.ch_mult, num_res_blocks=c.num_res_blocks,
             attn_resolutions=c.attn_resolutions, resolution=c.resolution,
-            z_channels=c.z_channels, dropout=c.dropout, dtype=dt)
+            z_channels=c.z_channels, dropout=c.dropout, dtype=dt,
+            remat=c.remat)
         self.decoder = Decoder(
             ch=c.ch, out_ch=c.out_ch, ch_mult=c.ch_mult,
             num_res_blocks=c.num_res_blocks,
             attn_resolutions=c.attn_resolutions, resolution=c.resolution,
-            dropout=c.dropout, dtype=dt)
+            dropout=c.dropout, dtype=dt, remat=c.remat)
         self.quant_conv = nn.Conv(c.embed_dim, (1, 1), dtype=dt,
                                   name="quant_conv")
         self.post_quant_conv = nn.Conv(c.z_channels, (1, 1), dtype=dt,

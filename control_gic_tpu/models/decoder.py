@@ -48,6 +48,8 @@ class Decoder(nn.Module):
     resolution: int = 256
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False    # rematerialize trunk blocks under grad
+                           # (requires dropout == 0, the reference default)
 
     @nn.compact
     def __call__(self, z, zq, masks, *, deterministic: bool = True):
@@ -93,6 +95,9 @@ class Decoder(nn.Module):
             if i_level != 0:
                 curr_res *= 2
 
+        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Attn = nn.remat(AttnBlock) if self.remat else AttnBlock
+
         h = h_coarse
         for i_level in reversed(range(num_res)):
             if i_level == num_res - 2:
@@ -103,14 +108,14 @@ class Decoder(nn.Module):
                      + h_fine * gate(m_f))
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(
+                h = Res(
                     out_channels=block_out, dropout=self.dropout,
                     zq_cond=True, dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}")(
                         h, zq, deterministic=deterministic)
                 if i_level in attn_levels:
-                    h = AttnBlock(zq_cond=True, dtype=self.dtype,
-                                  name=f"up_{i_level}_attn_{i_block}")(h, zq)
+                    h = Attn(zq_cond=True, dtype=self.dtype,
+                             name=f"up_{i_level}_attn_{i_block}")(h, zq)
             if i_level != 0:
                 h = Upsample(dtype=self.dtype,
                              name=f"up_{i_level}_upsample")(h)

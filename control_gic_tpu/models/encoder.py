@@ -53,6 +53,7 @@ class Encoder(nn.Module):
     z_channels: int = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False    # rematerialize blocks under grad (memory <-> FLOPs)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True
@@ -64,20 +65,22 @@ class Encoder(nn.Module):
         # differ (high-res tiles) — the reference behaves identically since
         # it tracks curr_res from the config resolution too.
         curr_res = self.resolution
+        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Attn = nn.remat(AttnBlock) if self.remat else AttnBlock
 
         h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="conv_in")(x)
         h_fine = h_medium = None
         for i_level in range(num_res):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(
+                h = Res(
                     out_channels=block_out, dropout=self.dropout,
                     dtype=self.dtype,
                     name=f"down_{i_level}_block_{i_block}")(
                         h, deterministic=deterministic)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype,
-                                  name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = Attn(dtype=self.dtype,
+                             name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level == num_res - 3:
                 h_fine = h
             if i_level == num_res - 2:
