@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 from ..data import EvalImageDataset
-from ..utils.draw import draw_partition_map
+from ..utils.draw import draw_partition_map, draw_partition_map_color
 from ..utils.metrics import psnr
 from .common import build_codec, enable_compilation_cache, save_png
 
@@ -34,6 +34,13 @@ def get_parser():
                    metavar=("COARSE", "MEDIUM"),
                    help="(coarse, medium) grain ratios; fine = 1 - c - m")
     p.add_argument("-w", "--write_partition_map", action="store_true")
+    p.add_argument("--partition_map_style", choices=("lines", "color"),
+                   default="lines",
+                   help="'lines' draws grain-cell borders; 'color' blends a "
+                        "granularity heat map (reference draw.py:42-76)")
+    p.add_argument("--device_pack", action="store_true",
+                   help="entropy-pack streams on device, fused with the "
+                        "encoder (byte-identical output)")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
     p.add_argument("--lpips", action="store_true",
                    help="also report LPIPS (NOTE: needs ported AlexNet "
@@ -78,7 +85,8 @@ def main(argv=None):
         for k in range(len(dataset)):
             img = dataset[k]
             t0 = time.time()
-            rec, bpp, enc = codec.compress(img, rc, rm, out_dir=stream_dir)
+            rec, bpp, enc = codec.compress(img, rc, rm, out_dir=stream_dir,
+                                           device_pack=args.device_pack)
             dt = time.time() - t0
             p = psnr(np.clip(rec, 0, 1), img)
             bpps.append(bpp)
@@ -90,9 +98,13 @@ def main(argv=None):
             if args.write_partition_map:
                 fn = codec._encode_fn(float(rc), float(rm))
                 out = fn(codec.variables, np.asarray(img)[None])
-                pm = draw_partition_map(np.asarray(img)[None],
-                                        np.asarray(out.grain_indices),
-                                        line_value=0.0)
+                if args.partition_map_style == "color":
+                    pm = draw_partition_map_color(
+                        np.asarray(img)[None], np.asarray(out.grain_indices))
+                else:
+                    pm = draw_partition_map(np.asarray(img)[None],
+                                            np.asarray(out.grain_indices),
+                                            line_value=0.0)
                 save_png(os.path.join(args.output_dir, f"{k:03d}_map.png"),
                          pm[0])
             line = (f"{k:03d}: bpp={bpp:.5f} psnr={p:.2f}dB "

@@ -37,6 +37,9 @@ def get_parser():
                    help="fused single-pass sharded codec over the mesh "
                         "instead of independent tiles (no seams, one "
                         "global routing decision); needs --mesh-devices")
+    p.add_argument("--device_pack", action="store_true",
+                   help="entropy-pack tile streams on device, fused with "
+                        "the encoder (byte-identical output)")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
     return p
 
@@ -69,7 +72,8 @@ def main(argv=None):
             else:
                 rec, bpp, _ = compress_tiled(codec, img, rc, rm,
                                              tile=args.tile,
-                                             overlap=args.overlap, mesh=mesh)
+                                             overlap=args.overlap, mesh=mesh,
+                                             device_pack=args.device_pack)
             dt = time.time() - t0
             p = psnr(np.clip(rec, 0, 1), img)
             bpps.append(bpp)

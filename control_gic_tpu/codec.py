@@ -36,7 +36,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .coding import BitmapCodec, HuffmanCodec
+from .coding.huffman_tpu import pack_tables, supports_table
+from .coding.stream_pack import pack_streams_batch, streams_to_bytes
 from .models.cgic import CGIC
+from .ops.router import mode_from_ratios
 
 STREAM_FILES = {
     "indices_coarse": "indices_coarse.bin",
@@ -111,7 +114,12 @@ class CGICCodec:
         self.variables = variables
         self.huffman = HuffmanCodec.from_counts(np.asarray(counts))
         self.bitmap = BitmapCodec()
+        # Device-side packing needs all code lengths <= 32 bits (true for
+        # any non-degenerate trained frequency table).
+        self._device_tables = (pack_tables(self.huffman.codes)
+                               if supports_table(self.huffman.codes) else None)
         self._encode_fns = {}
+        self._encode_pack_fns = {}
         self._decode_fn = jax.jit(
             lambda v, idx, masks: self.model.apply(
                 v, idx, masks, method=CGIC.decode_indices))
@@ -126,6 +134,41 @@ class CGICCodec:
                     v, x, rc, rm, per_sample=per_sample,
                     method=CGIC.encode))
         return self._encode_fns[key]
+
+    def _encode_pack_fn(self, rc: float, rm: float, per_sample: bool):
+        """One jitted program: neural encode + on-device stream packing.
+
+        The host receives only packed 32-bit words + bit counts per stream
+        (coding/stream_pack.py) instead of the full index/mask grids."""
+        assert self._device_tables is not None
+        key = (rc, rm, per_sample)
+        if key not in self._encode_pack_fns:
+            lens, words = self._device_tables
+
+            max_code_len = int(lens.max()) if lens.size else 1
+
+            def fn(v, x):
+                enc = self.model.apply(v, x, rc, rm, per_sample=per_sample,
+                                       method=CGIC.encode)
+                return pack_streams_batch(enc.indices, enc.router.masks,
+                                          enc.router.mode, lens, words,
+                                          max_code_len)
+
+            self._encode_pack_fns[key] = jax.jit(fn)
+        return self._encode_pack_fns[key]
+
+    def _encode_packed(self, images: jnp.ndarray, rc: float, rm: float,
+                       per_sample: bool) -> List[EncodedImage]:
+        n, h, w, _ = images.shape
+        packed = self._encode_pack_fn(rc, rm, per_sample)(
+            self.variables, images)
+        packed = {name: (np.asarray(p), np.asarray(bits))
+                  for name, (p, bits) in packed.items()}
+        mode = mode_from_ratios(rc, rm)
+        return [EncodedImage(mode=mode, latent_hw=(h // 4, w // 4),
+                             image_hw=(h, w),
+                             streams=streams_to_bytes(packed, i))
+                for i in range(n)]
 
     def streams_from_arrays(self, ind: np.ndarray, m_c: np.ndarray,
                             m_m: np.ndarray, m_f: np.ndarray, mode: int,
@@ -152,13 +195,21 @@ class CGICCodec:
                             image_hw=image_hw, streams=streams)
 
     def encode(self, image: np.ndarray, coarse_ratio: float,
-               medium_ratio: float) -> EncodedImage:
+               medium_ratio: float, *,
+               device_pack: bool = False) -> EncodedImage:
         """image: [H, W, 3] float in the eval range [0, 1] (or [-1, 1] for
-        train-convention inputs; entropy bins cover both, model.py:480)."""
+        train-convention inputs; entropy bins cover both, model.py:480).
+
+        device_pack=True runs entropy packing on device fused with the
+        encoder (byte-identical streams, no index/mask host transfer)."""
         assert image.ndim == 3, image.shape
         h, w, _ = image.shape
         assert h % 16 == 0 and w % 16 == 0, "pad/crop to /16 first"
         x = jnp.asarray(image, jnp.float32)[None]
+        if device_pack and self._device_tables is not None:
+            return self._encode_packed(x, float(coarse_ratio),
+                                       float(medium_ratio),
+                                       per_sample=False)[0]
         enc = self._encode_fn(float(coarse_ratio), float(medium_ratio))(
             self.variables, x)
 
@@ -172,15 +223,24 @@ class CGICCodec:
             int(enc.router.mode), (h, w))
 
     def encode_batch(self, images: np.ndarray, coarse_ratio: float,
-                     medium_ratio: float) -> List[EncodedImage]:
+                     medium_ratio: float, *,
+                     device_pack: bool = False) -> List[EncodedImage]:
         """Batched encode of same-shape independent images/tiles. Each
         element is routed with per-sample thresholds, so the resulting
         streams are identical to encoding each image alone (the reference's
         per-tile loop, inference_high_resolution.py:235-251), but the
-        device work runs as one batched program."""
+        device work runs as one batched program.
+
+        device_pack=True additionally keeps stream extraction + Huffman/
+        bitmap packing on device (one fused program; the host only frames
+        bytes)."""
         assert images.ndim == 4, images.shape
         n, h, w, _ = images.shape
         assert h % 16 == 0 and w % 16 == 0
+        if device_pack and self._device_tables is not None:
+            return self._encode_packed(jnp.asarray(images, jnp.float32),
+                                       float(coarse_ratio),
+                                       float(medium_ratio), per_sample=True)
         enc = self._encode_fn(float(coarse_ratio), float(medium_ratio),
                               per_sample=True)(
             self.variables, jnp.asarray(images, jnp.float32))
@@ -311,13 +371,15 @@ class CGICCodec:
     # ------------------------------------------------------------ round-trip
 
     def compress(self, image: np.ndarray, coarse_ratio: float,
-                 medium_ratio: float, out_dir: Optional[str] = None
+                 medium_ratio: float, out_dir: Optional[str] = None,
+                 device_pack: bool = False
                  ) -> Tuple[np.ndarray, float, EncodedImage]:
         """Full sender->receiver round-trip (through files when out_dir is
         given, exactly like the reference compress(), model.py:206-401).
 
         Returns (reconstruction [H,W,3], bpp, encoded bundle)."""
-        encoded = self.encode(image, coarse_ratio, medium_ratio)
+        encoded = self.encode(image, coarse_ratio, medium_ratio,
+                              device_pack=device_pack)
         if out_dir is not None:
             encoded.write(out_dir)
             encoded = EncodedImage.read(out_dir, encoded.mode,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention
+from ..ops.fused_norm import spatial_norm
 from ..ops.resample import nearest_resize, upsample_nearest
 
 
@@ -44,32 +45,70 @@ class GroupNorm32(nn.Module):
         return h.astype(self.dtype)
 
 
+class _GNParams(nn.Module):
+    """Param holder matching nn.GroupNorm's tree ({scale, bias})."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _Conv1x1Params(nn.Module):
+    """Param holder matching nn.Conv(features, (1,1))'s tree."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class SpatialNorm(nn.Module):
-    """MoVQ spatially-modulated GroupNorm: norm(f) * conv_y(zq) + conv_b(zq)."""
+    """MoVQ spatially-modulated GroupNorm: norm(f) * conv_y(zq) + conv_b(zq).
+
+    `act="swish"` fuses the following activation. On TPU the whole
+    apply (normalize + on-the-fly 1x1 convs + modulation + swish) runs as
+    one Pallas pass (ops/fused_norm.py); elsewhere the jnp reference
+    formula is used. Param tree is unchanged (norm_layer/conv_y/conv_b),
+    so checkpoints and the torch port are unaffected.
+    """
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f, zq):
-        zq = nearest_resize(zq, f.shape[1], f.shape[2]).astype(self.dtype)
-        normed = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
-                              param_dtype=jnp.float32, name="norm_layer")(
-                                  f.astype(jnp.float32)).astype(self.dtype)
-        y = nn.Conv(f.shape[-1], (1, 1), dtype=self.dtype, name="conv_y")(zq)
-        b = nn.Conv(f.shape[-1], (1, 1), dtype=self.dtype, name="conv_b")(zq)
-        return normed * y + b
+    def __call__(self, f, zq, act: Optional[str] = None):
+        zq_r = nearest_resize(zq, f.shape[1], f.shape[2])
+        c = f.shape[-1]
+        z = zq.shape[-1]
+        gs, gb = _GNParams(c, name="norm_layer")()
+        wy, by = _Conv1x1Params(z, c, name="conv_y")()
+        wb, bb = _Conv1x1Params(z, c, name="conv_b")()
+        out = spatial_norm(f.astype(self.dtype), zq_r, gs, gb,
+                           wy[0, 0], by, wb[0, 0], bb,
+                           act_swish=(act == "swish"))
+        return out.astype(self.dtype)
 
 
 class _Norm(nn.Module):
-    """Plain GroupNorm, or SpatialNorm when a zq conditioning is passed."""
+    """Plain GroupNorm, or SpatialNorm when a zq conditioning is passed.
+
+    `act="swish"` applies the activation (fused into the SpatialNorm
+    kernel on TPU)."""
     spatial: bool
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, zq=None):
+    def __call__(self, x, zq=None, act: Optional[str] = None):
         if self.spatial:
             assert zq is not None
-            return SpatialNorm(dtype=self.dtype, name="spatial")(x, zq)
-        return GroupNorm32(dtype=self.dtype, name="group")(x)
+            return SpatialNorm(dtype=self.dtype, name="spatial")(x, zq,
+                                                                 act=act)
+        h = GroupNorm32(dtype=self.dtype, name="group")(x)
+        return swish(h) if act == "swish" else h
 
 
 class ResnetBlock(nn.Module):
@@ -83,12 +122,10 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
 
-        h = _Norm(self.zq_cond, self.dtype, name="norm1")(x, zq)
-        h = swish(h)
+        h = _Norm(self.zq_cond, self.dtype, name="norm1")(x, zq, act="swish")
         h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
 
-        h = _Norm(self.zq_cond, self.dtype, name="norm2")(h, zq)
-        h = swish(h)
+        h = _Norm(self.zq_cond, self.dtype, name="norm2")(h, zq, act="swish")
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)

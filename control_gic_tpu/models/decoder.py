@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.resample import avg_pool, upsample_nearest
-from .blocks import AttnBlock, ResnetBlock, SpatialNorm, Upsample, swish
+from .blocks import AttnBlock, ResnetBlock, SpatialNorm, Upsample
 
 
 class _Mid(nn.Module):
@@ -120,7 +120,6 @@ class Decoder(nn.Module):
                 h = Upsample(dtype=self.dtype,
                              name=f"up_{i_level}_upsample")(h)
 
-        h = SpatialNorm(dtype=self.dtype, name="norm_out")(h, zq)
-        h = swish(h)
+        h = SpatialNorm(dtype=self.dtype, name="norm_out")(h, zq, act="swish")
         return nn.Conv(self.out_ch, (3, 3), dtype=self.dtype,
                        name="conv_out")(h)

@@ -55,18 +55,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale                  # [bq, C]
-    k = k_ref[0].astype(jnp.float32)                          # [bk, C]
-    v = v_ref[0].astype(jnp.float32)                          # [bk, C]
+    # Dots run on native-dtype inputs (bf16 -> full-rate MXU) with f32
+    # accumulation; only the online-softmax state is f32.
+    q = q_ref[0]                                              # [bq, C]
+    k = k_ref[0]                                              # [bk, C]
+    v = v_ref[0]                                              # [bk, C]
 
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)   # [bq, bk]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
     corr = jnp.exp(m_prev - m_new)
     l_ref[:] = l_ref[:] * corr + p.sum(axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     m_ref[:] = m_new
 
     @_pl().when(ik == num_k - 1)

@@ -1,0 +1,199 @@
+"""Fused SpatialNorm (+ optional swish) — the decoder's bandwidth hot spot.
+
+SpatialNorm (MoVQ, reference decoder.py:34-53) is
+    out = GroupNorm(f) * conv_y(zq) + conv_b(zq)        [then often swish]
+where conv_y/conv_b are 1x1 convs from the 4-channel quantized latent to f's
+C channels. Under XLA this costs ~7 activation-sized HBM round trips per
+norm: the stats pass reads f; the normalize pass reads f and writes the
+normalized tensor; the two 1x1 convs each write a full C-channel tensor
+(y, b) that the modulation then re-reads. The decoder evaluates ~40 of
+these at up to 256x256 resolution, so SpatialNorm traffic rivals the conv
+FLOPs in wall-clock.
+
+This module fuses everything after the (cheap, XLA-optimal) stats
+reduction into ONE Pallas pass: read f + the 4-channel zq block, compute
+y/b on the fly (two [rb,4]x[4,C] MXU matmuls — FLOP-free by comparison),
+normalize, modulate, swish, write out. Traffic drops to
+  read f (stats) + read f + read zq + write out  ~= 3 activation passes.
+
+Gradients: jax.custom_vjp with the backward computed by jax.vjp of the
+reference jnp formula (recompute-in-backward), so the kernel is safe under
+grad/remat/scan. The jnp formula (`spatial_norm_reference`) is also the
+CPU/parity fallback and replicates flax nn.GroupNorm numerics exactly
+(biased variance as E[x^2] - E[x]^2, clamped at 0, eps inside rsqrt).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+GROUPS = 32
+EPS = 1e-6
+
+
+def _gn_stats(f: jnp.ndarray, groups: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, group) mean / rstd in f32. f: [B, H, W, C]."""
+    b, h, w, c = f.shape
+    xg = f.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    mean = xg.mean(axis=(1, 3))
+    mean2 = jnp.square(xg).mean(axis=(1, 3))
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    return mean, jax.lax.rsqrt(var + EPS)            # [B, G] each
+
+
+def group_norm_reference(f: jnp.ndarray, scale: jnp.ndarray,
+                         bias: jnp.ndarray, groups: int = GROUPS
+                         ) -> jnp.ndarray:
+    """flax nn.GroupNorm(num_groups, eps=1e-6) in plain jnp (f32 out)."""
+    b, h, w, c = f.shape
+    mean, rstd = _gn_stats(f, groups)
+    cg = c // groups
+    mean_c = jnp.repeat(mean, cg, axis=1).reshape(b, 1, 1, c)
+    rstd_c = jnp.repeat(rstd, cg, axis=1).reshape(b, 1, 1, c)
+    return ((f.astype(jnp.float32) - mean_c) * rstd_c
+            * scale.astype(jnp.float32) + bias.astype(jnp.float32))
+
+
+def spatial_norm_reference(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
+                           act_swish: bool) -> jnp.ndarray:
+    """Unfused jnp formula (also the custom-VJP backward and CPU path).
+
+    f: [B,H,W,C]; zq_r: [B,H,W,Z] (already nearest-resized to f);
+    wy/wb: [Z,C] 1x1-conv kernels; by/bb/gn_scale/gn_bias: [C].
+    Computes in f32, returns f.dtype.
+    """
+    normed = group_norm_reference(f, gn_scale, gn_bias)
+    zf = zq_r.astype(jnp.float32)
+    y = zf @ wy.astype(jnp.float32) + by.astype(jnp.float32)
+    bmod = zf @ wb.astype(jnp.float32) + bb.astype(jnp.float32)
+    out = normed * y + bmod
+    if act_swish:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(f.dtype)
+
+
+# ------------------------------------------------------------------ kernel
+
+def _apply_kernel(f_ref, zq_ref, mean_ref, rstd_ref, gam_ref, bet_ref,
+                  wy_ref, by_ref, wb_ref, bb_ref, o_ref,
+                  *, act_swish: bool):
+    f = f_ref[0].astype(jnp.float32)                       # [rb, C]
+    zq = zq_ref[0].astype(jnp.float32)                     # [rb, Z]
+    mean = mean_ref[0]                                     # [C] (pre-expanded)
+    rstd = rstd_ref[0]
+    gam = gam_ref[0].astype(jnp.float32)
+    bet = bet_ref[0].astype(jnp.float32)
+
+    normed = (f - mean) * (rstd * gam) + bet
+    y = jnp.dot(zq, wy_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + by_ref[0]
+    bm = jnp.dot(zq, wb_ref[...].astype(jnp.float32),
+                 preferred_element_type=jnp.float32) + bb_ref[0]
+    out = normed * y + bm
+    if act_swish:
+        out = out * (1.0 / (1.0 + jnp.exp(-out)))
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _row_block(hw: int, c: int, target_bytes: int = 1 << 21) -> int:
+    """Largest divisor of hw whose [rb, C] f32 block fits target_bytes."""
+    cap = max(1, target_bytes // (4 * c))
+    rb = min(hw, cap)
+    while hw % rb:
+        rb -= 1
+    return rb
+
+
+def _fused_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
+                   act_swish: bool, interpret: bool = False) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+
+    b, h, w, c = f.shape
+    z = zq_r.shape[-1]
+    g = GROUPS
+    hw = h * w
+    rb = _row_block(hw, c)
+    mean, rstd = _gn_stats(f, g)
+    # expand per-group stats to per-channel [B, C] (tiny; keeps the kernel
+    # free of intra-lane reshuffles)
+    mean_c = jnp.repeat(mean, c // g, axis=1)
+    rstd_c = jnp.repeat(rstd, c // g, axis=1)
+
+    f2 = f.reshape(b, hw, c)
+    zq2 = zq_r.reshape(b, hw, z)
+    row = lambda ib, ir: (ib, ir, 0)
+    fixed = lambda ib, ir: (0, 0)
+    batch = lambda ib, ir: (ib, 0)
+
+    kernel = functools.partial(_apply_kernel, act_swish=act_swish)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hw // rb),
+        in_specs=[
+            pl.BlockSpec((1, rb, c), row),                 # f
+            pl.BlockSpec((1, rb, z), row),                 # zq
+            pl.BlockSpec((1, c), batch),                   # mean (per-chan)
+            pl.BlockSpec((1, c), batch),                   # rstd
+            pl.BlockSpec((1, c), fixed),                   # gamma
+            pl.BlockSpec((1, c), fixed),                   # beta
+            pl.BlockSpec((z, c), fixed),                   # wy
+            pl.BlockSpec((1, c), fixed),                   # by
+            pl.BlockSpec((z, c), fixed),                   # wb
+            pl.BlockSpec((1, c), fixed),                   # bb
+        ],
+        out_specs=pl.BlockSpec((1, rb, c), row),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), f.dtype),
+        interpret=interpret,
+    )(f2, zq2, mean_c, rstd_c,
+      gn_scale.astype(jnp.float32)[None], gn_bias.astype(jnp.float32)[None],
+      wy.astype(jnp.float32), by.astype(jnp.float32)[None],
+      wb.astype(jnp.float32), bb.astype(jnp.float32)[None])
+    return out.reshape(b, h, w, c)
+
+
+def _make_fused(act_swish: bool, interpret: bool = False):
+    @jax.custom_vjp
+    def fn(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb):
+        return _fused_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
+                              act_swish, interpret=interpret)
+
+    def fwd(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb):
+        args = (f, zq_r, gn_scale, gn_bias, wy, by, wb, bb)
+        return fn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(
+            lambda *a: spatial_norm_reference(*a, act_swish=act_swish),
+            *args)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+_FUSED_SWISH = _make_fused(True)
+_FUSED_PLAIN = _make_fused(False)
+
+
+def fused_norms_enabled() -> bool:
+    """Pallas path gate: TPU backend only, env-var escape hatch."""
+    if os.environ.get("CONTROL_GIC_NO_FUSED_NORM"):
+        return False
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def spatial_norm(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
+                 act_swish: bool = False,
+                 use_fused: bool | None = None) -> jnp.ndarray:
+    """SpatialNorm (+ optional swish): Pallas-fused on TPU, jnp elsewhere."""
+    if use_fused is None:
+        use_fused = fused_norms_enabled()
+    if use_fused:
+        fn = _FUSED_SWISH if act_swish else _FUSED_PLAIN
+        return fn(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb)
+    return spatial_norm_reference(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
+                                  act_swish)

@@ -43,6 +43,19 @@ class RouterOutput(NamedTuple):
         return (self.mask_coarse, self.mask_medium, self.mask_fine)
 
 
+def mode_from_ratios(coarse_ratio: float, medium_ratio: float) -> int:
+    """Static compression mode 0-6 from the ratio triple
+    (RouterTriple.py:18-91 dispatch; fine = 1 - c - m)."""
+    c, m = float(coarse_ratio), float(medium_ratio)
+    f = max(1.0 - c - m, 0.0)   # same clamp as triple_grain_router
+    zeros = (c == 0, m == 0, f == 0)
+    if sum(zeros) == 0:
+        return 0
+    if sum(zeros) == 1:
+        return 1 if zeros[0] else (2 if zeros[1] else 3)
+    return 4 if c != 0 else (5 if m != 0 else 6)
+
+
 def triple_grain_router(e16: jnp.ndarray, e8: jnp.ndarray,
                         coarse_ratio: float, medium_ratio: float,
                         per_sample: bool = False) -> RouterOutput:

@@ -89,8 +89,8 @@ def gaussian_tile_weights(th: int, tw: int) -> np.ndarray:
 
 def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
                    medium_ratio: float, tile: int = 768,
-                   overlap: int = 0,
-                   mesh=None) -> Tuple[np.ndarray, float, List[EncodedImage]]:
+                   overlap: int = 0, mesh=None, device_pack: bool = False
+                   ) -> Tuple[np.ndarray, float, List[EncodedImage]]:
     """Compress an arbitrary-size image by independent tiles.
 
     Args:
@@ -131,7 +131,8 @@ def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
             from .mesh import data_sharding
             if batch.shape[0] % mesh.devices.size == 0:
                 batch = jax.device_put(batch, data_sharding(mesh))
-        encs = codec.encode_batch(batch, coarse_ratio, medium_ratio)
+        encs = codec.encode_batch(batch, coarse_ratio, medium_ratio,
+                                  device_pack=device_pack)
         recs = codec.decode_batch(encs)
         wt = (gaussian_tile_weights(th, tw)[..., None] if overlap
               else np.ones((th, tw, 1), np.float32))
