@@ -41,12 +41,53 @@ def get_parser():
     p.add_argument("--device_pack", action="store_true",
                    help="entropy-pack streams on device, fused with the "
                         "encoder (byte-identical output)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="batch same-shape images through one device "
+                        "program (per-sample routing keeps every stream "
+                        "identical to a solo encode); partition maps force "
+                        "the per-image path")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
     p.add_argument("--lpips", action="store_true",
                    help="also report LPIPS (NOTE: needs ported AlexNet "
                         "weights for values comparable to published "
                         "numbers; random-init otherwise, see models/lpips)")
     return p
+
+
+def _compress_batched(codec, dataset, rc, rm, batch, stream_dir,
+                      device_pack):
+    """Round-trip all images through batched device programs (same-shape
+    groups, per-sample routing). Returns {index: (rec, bpp, enc, dt)};
+    streams are identical to solo encodes (test_parallel pins this)."""
+    from collections import defaultdict
+
+    from ..codec import EncodedImage
+
+    images = [dataset[k] for k in range(len(dataset))]
+    groups = defaultdict(list)
+    for k, img in enumerate(images):
+        groups[img.shape].append(k)
+
+    results = {}
+    for shape, idxs in groups.items():
+        for lo in range(0, len(idxs), batch):
+            chunk = idxs[lo:lo + batch]
+            t0 = time.time()
+            encs = codec.encode_batch(
+                np.stack([images[k] for k in chunk]), rc, rm,
+                device_pack=device_pack)
+            # honest file round-trip (same contract as compress())
+            reread = []
+            for enc in encs:
+                enc.write(stream_dir)
+                reread.append(EncodedImage.read(
+                    stream_dir, enc.mode, enc.latent_hw, enc.image_hw))
+            recs = codec.decode_batch(reread)
+            dt = (time.time() - t0) / len(chunk)
+            for j, k in enumerate(chunk):
+                results[k] = (np.asarray(recs[j]), reread[j].bpp,
+                              reread[j], dt)
+    return results
 
 
 def main(argv=None):
@@ -79,15 +120,26 @@ def main(argv=None):
                 lpips_vars, jnp.asarray(a)[None], jnp.asarray(b)[None],
                 normalize=True)[0])
 
+    batched = args.batch > 1 and not args.write_partition_map
+    results = {}
+    if batched:
+        results = _compress_batched(codec, dataset, rc, rm, args.batch,
+                                    stream_dir, args.device_pack)
+
     bpps, psnrs, lpipses = [], [], []
     log_path = os.path.join(args.output_dir, "bpp.txt")
     with open(log_path, "w") as log:
         for k in range(len(dataset)):
-            img = dataset[k]
-            t0 = time.time()
-            rec, bpp, enc = codec.compress(img, rc, rm, out_dir=stream_dir,
-                                           device_pack=args.device_pack)
-            dt = time.time() - t0
+            if batched:
+                img = dataset[k]
+                rec, bpp, enc, dt = results[k]
+            else:
+                img = dataset[k]
+                t0 = time.time()
+                rec, bpp, enc = codec.compress(
+                    img, rc, rm, out_dir=stream_dir,
+                    device_pack=args.device_pack)
+                dt = time.time() - t0
             p = psnr(np.clip(rec, 0, 1), img)
             bpps.append(bpp)
             psnrs.append(p)

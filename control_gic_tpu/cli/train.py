@@ -51,12 +51,19 @@ def get_parser():
                    choices=["float32", "bfloat16"])
     p.add_argument("--log-dir", type=str, default="./logs")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf; "
+                        "SURVEY §5 — the reference has no sanitizers)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace of steps 10..20 here")
     return p
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
     enable_compilation_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -105,9 +112,14 @@ def main(argv=None):
     for step, batch in enumerate(batches, start=start):
         if step >= args.steps:
             break
+        if args.profile_dir and step == start + 10:
+            jax.profiler.start_trace(args.profile_dir)
         x = shard_batch(mesh, batch)
         state, metrics = trainer.train_step(state, x)
         seen += batch.shape[0]
+        if args.profile_dir and step == start + 20:
+            jax.block_until_ready(state.gen_params)
+            jax.profiler.stop_trace()
 
         if step % args.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}

@@ -23,11 +23,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Measured on-chip: at 4096 tokens (256^2 images) the XLA einsum path ties
-# the Pallas kernel (5.7 vs 6.1 ms at C=512), so flash engages only where
-# the T^2 score materialization starts to hurt — high-res tiles.
-_FLASH_MIN_TOKENS = 8192
-_BLOCK_Q = 512
+# Measured on-chip (scan-based in-graph timing, tools/attn_tune.py, b=8
+# t=4096 c=512 bf16): XLA einsum 7.3 ms vs flash 4.7 ms at blocks 1024x512
+# (at t=36864: 38.4 vs 18.9 ms). At t=1024 XLA wins (4.0 vs 4.9 ms), so
+# flash engages from 4096 tokens. Blocks >= 1024x1024 exceed VMEM.
+_FLASH_MIN_TOKENS = 4096
+_BLOCK_Q = 1024
 _BLOCK_K = 512
 
 
@@ -111,14 +112,25 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v)
 
 
+def _pick_block(t: int, preferred: int) -> int:
+    """Largest power-of-two block <= preferred that divides t (>= 256)."""
+    b = preferred
+    while b >= 256:
+        if t % b == 0:
+            return b
+        b //= 2
+    return 0
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               use_flash: bool | None = None) -> jnp.ndarray:
     """Dispatch: flash for long sequences on TPU, einsum otherwise."""
     t = q.shape[1]
+    bq = _pick_block(t, _BLOCK_Q)
+    bk = _pick_block(t, _BLOCK_K)
     if use_flash is None:
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        use_flash = (on_tpu and t >= _FLASH_MIN_TOKENS
-                     and t % _BLOCK_Q == 0 and t % _BLOCK_K == 0)
+        use_flash = on_tpu and t >= _FLASH_MIN_TOKENS and bq > 0 and bk > 0
     if use_flash:
-        return attention_flash(q, k, v)
+        return attention_flash(q, k, v, bq or _BLOCK_Q, bk or _BLOCK_K)
     return attention_xla(q, k, v)

@@ -10,11 +10,14 @@ normalized tensor; the two 1x1 convs each write a full C-channel tensor
 these at up to 256x256 resolution, so SpatialNorm traffic rivals the conv
 FLOPs in wall-clock.
 
-This module fuses everything after the (cheap, XLA-optimal) stats
-reduction into ONE Pallas pass: read f + the 4-channel zq block, compute
-y/b on the fly (two [rb,4]x[4,C] MXU matmuls — FLOP-free by comparison),
-normalize, modulate, swish, write out. Traffic drops to
-  read f (stats) + read f + read zq + write out  ~= 3 activation passes.
+This module fuses everything after the stats reduction into ONE Pallas
+pass: read f + the 4-channel zq block, compute y/b on the fly (two
+[rb,4]x[4,C] MXU matmuls — FLOP-free by comparison), normalize, modulate,
+swish, write out (~3 activation passes), plus a Pallas moment pass for the
+stats. NOTE: measured in-model this is currently a net loss vs XLA (see
+fused_norms_enabled) because the kernel boundary blocks XLA's epilogue
+fusion into neighboring convs — it is kept opt-in and as groundwork for a
+norm+conv fused kernel.
 
 Gradients: jax.custom_vjp with the backward computed by jax.vjp of the
 reference jnp formula (recompute-in-backward), so the kernel is safe under
@@ -76,15 +79,68 @@ def spatial_norm_reference(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
     return out.astype(f.dtype)
 
 
-# ------------------------------------------------------------------ kernel
+# ------------------------------------------------------------------ kernels
+
+def _stats_kernel(f_ref, o_ref):
+    """Per-channel sum / sum-of-squares, accumulated across row blocks.
+
+    Grid (B, HW/rb) with the row index innermost: the (1, 2, C) output
+    block stays VMEM-resident across the accumulation steps. The XLA
+    equivalent (two convert+reduce fusions) runs at ~40% of HBM bandwidth
+    on the decoder's shapes (measured via trace_report); this pass is a
+    single streaming read.
+    """
+    from jax.experimental import pallas as pl
+
+    ir = pl.program_id(1)
+
+    @pl.when(ir == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    f = f_ref[0].astype(jnp.float32)                       # [rb, C]
+    o_ref[0, 0, :] += jnp.sum(f, axis=0)
+    o_ref[0, 1, :] += jnp.sum(f * f, axis=0)
+
+
+def _gn_stats_pallas(f2: jnp.ndarray, groups: int, rb: int,
+                     interpret: bool = False):
+    """Pallas moment pass + tiny XLA group-fold. f2: [B, HW, C] ->
+    per-channel-expanded (mean_c, rstd_c) [B, C] f32 (matching
+    _gn_stats + repeat)."""
+    from jax.experimental import pallas as pl
+
+    b, hw, c = f2.shape
+    s = pl.pallas_call(
+        _stats_kernel,
+        grid=(b, hw // rb),
+        in_specs=[pl.BlockSpec((1, rb, c), lambda ib, ir: (ib, ir, 0))],
+        out_specs=pl.BlockSpec((1, 2, c), lambda ib, ir: (ib, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        interpret=interpret,
+    )(f2)
+    cg = c // groups
+    n = hw * cg
+    s1 = s[:, 0].reshape(b, groups, cg).sum(-1)            # [B, G]
+    s2 = s[:, 1].reshape(b, groups, cg).sum(-1)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + EPS)
+    mean_c = jnp.repeat(mean, cg, axis=1)                  # [B, C]
+    rstd_c = jnp.repeat(rstd, cg, axis=1)
+    return mean_c, rstd_c
+
 
 def _apply_kernel(f_ref, zq_ref, mean_ref, rstd_ref, gam_ref, bet_ref,
                   wy_ref, by_ref, wb_ref, bb_ref, o_ref,
                   *, act_swish: bool):
+    from jax.experimental import pallas as pl
+
+    ib = pl.program_id(0)
     f = f_ref[0].astype(jnp.float32)                       # [rb, C]
     zq = zq_ref[0].astype(jnp.float32)                     # [rb, Z]
-    mean = mean_ref[0]                                     # [C] (pre-expanded)
-    rstd = rstd_ref[0]
+    mean = mean_ref[ib]                                    # [C] (pre-expanded;
+    rstd = rstd_ref[ib]                                    #  full [B,C] block)
     gam = gam_ref[0].astype(jnp.float32)
     bet = bet_ref[0].astype(jnp.float32)
 
@@ -100,12 +156,18 @@ def _apply_kernel(f_ref, zq_ref, mean_ref, rstd_ref, gam_ref, bet_ref,
 
 
 def _row_block(hw: int, c: int, target_bytes: int = 1 << 21) -> int:
-    """Largest divisor of hw whose [rb, C] f32 block fits target_bytes."""
+    """Largest divisor of hw whose [rb, C] f32 block fits target_bytes.
+
+    Mosaic requires the sublane block dim to be a multiple of 8 or equal to
+    the full dim; returns 0 when no admissible block exists (caller falls
+    back to the jnp path)."""
     cap = max(1, target_bytes // (4 * c))
-    rb = min(hw, cap)
-    while hw % rb:
-        rb -= 1
-    return rb
+    if hw <= cap:
+        return hw
+    rb = cap - cap % 8
+    while rb >= 8 and hw % rb:
+        rb -= 8
+    return rb if rb >= 8 else 0
 
 
 def _fused_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
@@ -117,17 +179,13 @@ def _fused_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
     g = GROUPS
     hw = h * w
     rb = _row_block(hw, c)
-    mean, rstd = _gn_stats(f, g)
-    # expand per-group stats to per-channel [B, C] (tiny; keeps the kernel
-    # free of intra-lane reshuffles)
-    mean_c = jnp.repeat(mean, c // g, axis=1)
-    rstd_c = jnp.repeat(rstd, c // g, axis=1)
-
+    assert rb > 0, (hw, c)
     f2 = f.reshape(b, hw, c)
     zq2 = zq_r.reshape(b, hw, z)
+    # per-channel-expanded [B, C] stats via the Pallas moment pass
+    mean_c, rstd_c = _gn_stats_pallas(f2, g, rb, interpret=interpret)
     row = lambda ib, ir: (ib, ir, 0)
     fixed = lambda ib, ir: (0, 0)
-    batch = lambda ib, ir: (ib, 0)
 
     kernel = functools.partial(_apply_kernel, act_swish=act_swish)
     out = pl.pallas_call(
@@ -136,8 +194,8 @@ def _fused_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
         in_specs=[
             pl.BlockSpec((1, rb, c), row),                 # f
             pl.BlockSpec((1, rb, z), row),                 # zq
-            pl.BlockSpec((1, c), batch),                   # mean (per-chan)
-            pl.BlockSpec((1, c), batch),                   # rstd
+            pl.BlockSpec((b, c), fixed),                   # mean (per-chan,
+            pl.BlockSpec((b, c), fixed),                   # rstd  full block)
             pl.BlockSpec((1, c), fixed),                   # gamma
             pl.BlockSpec((1, c), fixed),                   # beta
             pl.BlockSpec((z, c), fixed),                   # wy
@@ -155,11 +213,38 @@ def _fused_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
     return out.reshape(b, h, w, c)
 
 
-def _make_fused(act_swish: bool, interpret: bool = False):
+def _stats_only_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
+                        act_swish: bool, interpret: bool = False):
+    """Pallas moment pass + plain-jnp apply: XLA keeps fusing the
+    normalize/modulate/swish epilogue with neighboring ops, only the slow
+    moment reductions are replaced."""
+    b, h, w, c = f.shape
+    hw = h * w
+    rb = _row_block(hw, c)
+    assert rb > 0, (hw, c)
+    mean_c, rstd_c = _gn_stats_pallas(f.reshape(b, hw, c), GROUPS, rb,
+                                      interpret=interpret)
+    mean = mean_c[:, None, None, :]
+    rstd = rstd_c[:, None, None, :]
+    normed = ((f.astype(jnp.float32) - mean) * rstd
+              * gn_scale.astype(jnp.float32) + gn_bias.astype(jnp.float32))
+    zf = zq_r.astype(jnp.float32)
+    y = zf @ wy.astype(jnp.float32) + by.astype(jnp.float32)
+    bm = zf @ wb.astype(jnp.float32) + bb.astype(jnp.float32)
+    out = normed * y + bm
+    if act_swish:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(f.dtype)
+
+
+def _make_fused(act_swish: bool, interpret: bool = False,
+                stats_only: bool = False):
+    forward = _stats_only_forward if stats_only else _fused_forward
+
     @jax.custom_vjp
     def fn(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb):
-        return _fused_forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
-                              act_swish, interpret=interpret)
+        return forward(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
+                       act_swish, interpret=interpret)
 
     def fwd(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb):
         args = (f, zq_r, gn_scale, gn_bias, wy, by, wb, bb)
@@ -177,11 +262,35 @@ def _make_fused(act_swish: bool, interpret: bool = False):
 
 _FUSED_SWISH = _make_fused(True)
 _FUSED_PLAIN = _make_fused(False)
+_STATS_SWISH = _make_fused(True, stats_only=True)
+_STATS_PLAIN = _make_fused(False, stats_only=True)
 
 
 def fused_norms_enabled() -> bool:
-    """Pallas path gate: TPU backend only, env-var escape hatch."""
-    if os.environ.get("CONTROL_GIC_NO_FUSED_NORM"):
+    """Pallas path gate: opt-in via CONTROL_GIC_FUSED_NORM=1 (TPU only).
+
+    Measured on-chip (tools/norm_tune.py + tools/perf_breakdown.py,
+    256² batch 8 bf16): the kernels win STANDALONE (apply pass ~0.15 ms at
+    full bandwidth, 5-10% over the XLA composition per norm), but IN-MODEL
+    the pallas_call boundaries block XLA from fusing the normalize/modulate
+    epilogue with neighboring convs, a bigger effect than the traffic saved
+    (decode 58.3 ms unfused vs 59.5 fused vs 61.3 with the Pallas stats
+    pass too). Default is therefore the XLA formula; the kernel stays for
+    shapes/models where epilogue fusion doesn't apply, and as the base for
+    a future norm+conv fused kernel.
+    """
+    if not os.environ.get("CONTROL_GIC_FUSED_NORM"):
+        return False
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def stats_kernel_enabled() -> bool:
+    """Middle path: Pallas moment pass + XLA apply. Opt-in via
+    CONTROL_GIC_STATS_KERNEL=1 (TPU only). Measured in-model WORSE than
+    both alternatives (decode 66.3 ms vs 58.3 XLA / 59.5 fully-fused at
+    256² batch 8): splitting stats out of XLA's fusion pipeline costs more
+    than the reduction speedup saves. Kept for kernel development only."""
+    if not os.environ.get("CONTROL_GIC_STATS_KERNEL"):
         return False
     return jax.default_backend() not in ("cpu", "gpu")
 
@@ -190,10 +299,14 @@ def spatial_norm(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
                  act_swish: bool = False,
                  use_fused: bool | None = None) -> jnp.ndarray:
     """SpatialNorm (+ optional swish): Pallas-fused on TPU, jnp elsewhere."""
+    admissible = _row_block(f.shape[1] * f.shape[2], f.shape[3]) > 0
     if use_fused is None:
-        use_fused = fused_norms_enabled()
+        use_fused = fused_norms_enabled() and admissible
     if use_fused:
         fn = _FUSED_SWISH if act_swish else _FUSED_PLAIN
+        return fn(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb)
+    if stats_kernel_enabled() and admissible:
+        fn = _STATS_SWISH if act_swish else _STATS_PLAIN
         return fn(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb)
     return spatial_norm_reference(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
                                   act_swish)

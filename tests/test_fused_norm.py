@@ -75,6 +75,17 @@ def test_pallas_kernel_bf16(rng):
                                atol=2e-2, rtol=2e-2)
 
 
+def test_stats_only_path_matches_reference(rng):
+    for act in (False, True):
+        f, zq, gs, gb, wy, by, wb, bb = _inputs(rng, c=64)
+        want = spatial_norm_reference(f, zq, gs, gb, wy, by, wb, bb,
+                                      act_swish=act)
+        fn = _make_fused(act, interpret=True, stats_only=True)
+        got = fn(f, zq, gs, gb, wy, by, wb, bb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_custom_vjp_grads_match_reference(rng):
     f, zq, gs, gb, wy, by, wb, bb = _inputs(rng, b=1, h=4, w=4, c=32)
     fused = _make_fused(True, interpret=True)

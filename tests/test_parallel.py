@@ -68,6 +68,14 @@ def test_tiled_codec_matches_solo_tiles(rng):
     total_bits = sum(b.num_bytes * 8 for b in bundles)
     assert bpp == pytest.approx(total_bits / (128 * 96))
 
+    # device-packed tile streams are byte-identical to the host path
+    rec_dp, bpp_dp, bundles_dp = compress_tiled(codec, img, 0.1, 0.4,
+                                                tile=64, device_pack=True)
+    assert bpp_dp == pytest.approx(bpp)
+    for a, b in zip(bundles, bundles_dp):
+        assert a.streams == b.streams
+    np.testing.assert_allclose(rec_dp, rec, atol=1e-5, rtol=1e-5)
+
 
 def test_data_parallel_train_step_runs(rng):
     """One fused train step over the 8-device mesh: state advances, metrics
