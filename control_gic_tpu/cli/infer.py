@@ -48,9 +48,12 @@ def get_parser():
                         "the per-image path")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
     p.add_argument("--lpips", action="store_true",
-                   help="also report LPIPS (NOTE: needs ported AlexNet "
+                   help="also report LPIPS (NOTE: needs ported backbone "
                         "weights for values comparable to published "
                         "numbers; random-init otherwise, see models/lpips)")
+    p.add_argument("--lpips_net", choices=("alex", "vgg", "squeeze"),
+                   default="alex",
+                   help="LPIPS backbone variant (networks_basic.py:36-43)")
     return p
 
 
@@ -108,7 +111,7 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
         from ..models.lpips import LPIPS
-        lpips_mod = LPIPS()
+        lpips_mod = LPIPS(net=args.lpips_net)
         lpips_vars = lpips_mod.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
             jnp.zeros((1, 64, 64, 3)))

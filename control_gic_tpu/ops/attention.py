@@ -83,8 +83,11 @@ def _pl():
 
 
 def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K) -> jnp.ndarray:
-    """Pallas flash attention. q,k,v: [B, T, C]; T divisible by blocks."""
+                    block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Pallas flash attention (forward only — not differentiable; the
+    dispatch wraps it in a custom VJP). q,k,v: [B, T, C]; T divisible by
+    blocks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -109,7 +112,30 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((block_q, 1), jnp.float32),   # running denom
             pltpu.VMEM((block_q, c), jnp.float32),   # output accumulator
         ],
+        interpret=interpret,
     )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_diff(q, k, v, block_q, block_k, interpret):
+    """Differentiable flash attention: Pallas forward, XLA-einsum backward
+    (recompute — the exact pre-flash training path, so gradients match the
+    einsum implementation bit-for-bit). pallas_call has no JVP rule, so the
+    kernel MUST be wrapped this way anywhere under grad."""
+    return attention_flash(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_diff_fwd(q, k, v, block_q, block_k, interpret):
+    return _flash_diff(q, k, v, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_diff_bwd(block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(attention_xla, q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 
 def _pick_block(t: int, preferred: int) -> int:
@@ -132,5 +158,5 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         use_flash = on_tpu and t >= _FLASH_MIN_TOKENS and bq > 0 and bk > 0
     if use_flash:
-        return attention_flash(q, k, v, bq or _BLOCK_Q, bk or _BLOCK_K)
+        return _flash_diff(q, k, v, bq or _BLOCK_Q, bk or _BLOCK_K, False)
     return attention_xla(q, k, v)

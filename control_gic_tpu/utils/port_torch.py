@@ -285,6 +285,48 @@ def port_cgic_checkpoint(path: str) -> Tuple[dict, np.ndarray]:
     return port_cgic_state_dict(_load_torch_state_dict(path))
 
 
+_LPIPS_CONV_IDX = {
+    # torchvision `features.<i>` conv index -> our flax module name
+    "alex": {0: "conv0", 3: "conv1", 6: "conv2", 8: "conv3", 10: "conv4"},
+    "vgg": {i: f"conv{n}" for n, i in
+            enumerate((0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28))},
+}
+_SQUEEZE_FIRE_IDX = (3, 4, 6, 7, 9, 10, 11, 12)
+
+
+def load_lpips_backbone(features_sd, net: str = "alex") -> dict:
+    """torchvision `<model>.features` state_dict (or a path to one) ->
+    flax params for models/lpips._{Alex,Vgg,Squeeze}Features.
+
+    Accepts keys with or without a 'features.' prefix (pass e.g.
+    torchvision.models.alexnet().features.state_dict() or the full model's
+    state_dict)."""
+    if isinstance(features_sd, str):
+        features_sd = _load_torch_state_dict(features_sd)
+    sd = {}
+    for k, v in features_sd.items():
+        k = re.sub(r"^(net\.|model\.)?features\.", "", k)
+        sd[k] = np.asarray(v)
+
+    out: dict = {}
+    net = "vgg" if net == "vgg16" else net
+    if net in _LPIPS_CONV_IDX:
+        for i, name in _LPIPS_CONV_IDX[net].items():
+            out[name] = {"kernel": _conv_kernel(sd[f"{i}.weight"]),
+                         "bias": sd[f"{i}.bias"]}
+    elif net == "squeeze":
+        out["conv0"] = {"kernel": _conv_kernel(sd["0.weight"]),
+                        "bias": sd["0.bias"]}
+        for i in _SQUEEZE_FIRE_IDX:
+            out[f"fire{i}"] = {
+                sub: {"kernel": _conv_kernel(sd[f"{i}.{sub}.weight"]),
+                      "bias": sd[f"{i}.{sub}.bias"]}
+                for sub in ("squeeze", "expand1x1", "expand3x3")}
+    else:
+        raise ValueError(f"unknown LPIPS backbone {net!r}")
+    return out
+
+
 def load_lpips_lin_heads(alex_pth_path: str) -> Dict[str, np.ndarray]:
     """Bundled alex.pth lin heads -> {'lin0'..'lin4': [chn]} weight vectors
     (dist_model.py:63-69, networks_basic.py:101-108)."""

@@ -1,4 +1,4 @@
-"""Partition-map renderers and discriminator norm variants."""
+"""Partition-map renderers, discriminator norm variants, simple metrics."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,22 @@ def test_draw_color_blend_extremes(rng):
     # scaler=0: min-max normalized image only
     out0 = draw_partition_map_color(imgs, idx, scaler=0.0)
     assert abs(out0[0].min()) < 1e-6 and abs(out0[0].max() - 1.0) < 1e-6
+
+
+def test_simple_metrics(rng):
+    from control_gic_tpu.utils.metrics import dssim, l2, psnr, ssim
+    a = rng.uniform(0, 1, (32, 32, 3))
+    assert psnr(a, a) == float("inf")
+    assert l2(a, a) == 0.0
+    assert abs(ssim(a, a) - 1.0) < 1e-12
+    assert abs(dssim(a, a)) < 1e-12
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
+    assert 0.0 < ssim(a, b) < 1.0
+    assert 0.0 < dssim(a, b) < 0.5
+    assert l2(a, b) > 0
+    # DSSIM ordering: more noise -> larger dissimilarity
+    c = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1)
+    assert dssim(a, c) > dssim(a, b)
 
 
 def test_actnorm_identity_init_and_data_init(rng):
