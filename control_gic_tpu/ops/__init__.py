@@ -1,4 +1,7 @@
 from .resample import nearest_resize, upsample_nearest, avg_pool
 from .entropy import patch_entropy
-from .router import triple_grain_router, RouterOutput, grain_indices_from_masks
+from .router import (triple_grain_router, RouterOutput,
+                     grain_indices_from_masks, mode_from_ratios)
 from .quantize import vq_lookup, vq_quantize, codebook_gather, VQResult
+from .attention import attention, attention_flash, attention_xla
+from .fused_norm import spatial_norm, spatial_norm_reference
