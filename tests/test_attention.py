@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from control_gic_tpu.ops.attention import (_flash_diff, attention_flash,
+                                           attention_flash_with_lse,
                                            attention_xla)
 
 
@@ -26,8 +27,8 @@ def test_flash_matches_xla_interpret(rng):
 
 
 def test_flash_dispatch_is_differentiable(rng):
-    """grad through _flash_diff must equal grad through attention_xla
-    (the custom VJP recomputes the einsum backward)."""
+    """grad through _flash_diff (Pallas FlashAttention-2 backward) must
+    match grad through attention_xla."""
     q, k, v = _qkv(rng, t=256, c=32)
 
     loss_flash = lambda q, k, v: jnp.sum(
@@ -38,6 +39,35 @@ def test_flash_dispatch_is_differentiable(rng):
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-3)
+
+
+def test_flash_xla_bwd_fallback_matches(rng, monkeypatch):
+    """CONTROL_GIC_FLASH_BWD=xla engages the einsum-recompute backward;
+    both backward implementations must agree."""
+    q, k, v = _qkv(rng, t=256, c=32)
+    loss = lambda q, k, v: jnp.sum(
+        jnp.square(_flash_diff(q, k, v, 128, 128, True)))
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("CONTROL_GIC_FLASH_BWD", "xla")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_flash_lse_residual(rng):
+    """lse emitted by the residual-saving forward equals the logsumexp of
+    the scaled logits, and o matches the plain flash forward."""
+    q, k, v = _qkv(rng, t=256, c=32)
+    o, lse = attention_flash_with_lse(q, k, v, 128, 128, interpret=True)
+    want_o = attention_xla(q, k, v)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("btc,bsc->bts", q, k) * scale
+    want_lse = jax.nn.logsumexp(logits, axis=-1)[..., None]
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want_o),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_flash_dispatch_under_jit_and_vmap(rng):
