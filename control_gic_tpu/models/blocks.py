@@ -26,6 +26,8 @@ from flax import linen as nn
 
 from ..ops.attention import attention
 from ..ops.fused_norm import spatial_norm
+from ..ops.norm_conv import (admissible as _norm_conv_admissible,
+                             norm_conv_enabled, spatial_norm_conv)
 from ..ops.resample import nearest_resize, upsample_nearest
 
 
@@ -68,6 +70,21 @@ class _Conv1x1Params(nn.Module):
         return k, b
 
 
+class _Conv3x3Params(nn.Module):
+    """Param holder matching nn.Conv(features, (3,3))'s tree exactly
+    (same names, shapes, initializers -> same init values and checkpoint
+    compatibility), for ops that consume the raw kernel/bias."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class SpatialNorm(nn.Module):
     """MoVQ spatially-modulated GroupNorm: norm(f) * conv_y(zq) + conv_b(zq).
 
@@ -76,17 +93,24 @@ class SpatialNorm(nn.Module):
     one Pallas pass (ops/fused_norm.py); elsewhere the jnp reference
     formula is used. Param tree is unchanged (norm_layer/conv_y/conv_b),
     so checkpoints and the torch port are unaffected.
+
+    `return_params=True` creates the identical param tree but returns
+    (zq_r, gs, gb, wy, by, wb, bb) instead of applying, so a caller can
+    fuse the norm into a following conv (ops/norm_conv.py).
     """
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f, zq, act: Optional[str] = None):
+    def __call__(self, f, zq, act: Optional[str] = None,
+                 return_params: bool = False):
         zq_r = nearest_resize(zq, f.shape[1], f.shape[2])
         c = f.shape[-1]
         z = zq.shape[-1]
         gs, gb = _GNParams(c, name="norm_layer")()
         wy, by = _Conv1x1Params(z, c, name="conv_y")()
         wb, bb = _Conv1x1Params(z, c, name="conv_b")()
+        if return_params:
+            return zq_r.astype(self.dtype), gs, gb, wy[0, 0], by, wb[0, 0], bb
         out = spatial_norm(f.astype(self.dtype), zq_r, gs, gb,
                            wy[0, 0], by, wb[0, 0], bb,
                            act_swish=(act == "swish"))
@@ -102,11 +126,13 @@ class _Norm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, zq=None, act: Optional[str] = None):
+    def __call__(self, x, zq=None, act: Optional[str] = None,
+                 return_params: bool = False):
         if self.spatial:
             assert zq is not None
-            return SpatialNorm(dtype=self.dtype, name="spatial")(x, zq,
-                                                                 act=act)
+            return SpatialNorm(dtype=self.dtype, name="spatial")(
+                x, zq, act=act, return_params=return_params)
+        assert not return_params
         h = GroupNorm32(dtype=self.dtype, name="group")(x)
         return swish(h) if act == "swish" else h
 
@@ -122,13 +148,32 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
 
-        h = _Norm(self.zq_cond, self.dtype, name="norm1")(x, zq, act="swish")
-        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
+        # Fused SpatialNorm+swish+conv Pallas path (TPU): same param tree,
+        # one kernel per norm->conv pair instead of 4 HBM round trips.
+        fuse = (self.zq_cond and zq is not None and norm_conv_enabled()
+                and (self.dropout == 0.0 or deterministic)
+                and _norm_conv_admissible(x.shape, out_ch)
+                and _norm_conv_admissible(x.shape[:3] + (out_ch,), out_ch))
+        if fuse:
+            xd = x.astype(self.dtype)
+            zq_r, *np1 = _Norm(True, self.dtype, name="norm1")(
+                x, zq, return_params=True)
+            k1, b1 = _Conv3x3Params(in_ch, out_ch, name="conv1")()
+            h = spatial_norm_conv(xd, zq_r, *np1, k1, b1, act_swish=True)
+            _, *np2 = _Norm(True, self.dtype, name="norm2")(
+                h, zq, return_params=True)
+            k2, b2 = _Conv3x3Params(out_ch, out_ch, name="conv2")()
+            h = spatial_norm_conv(h, zq_r, *np2, k2, b2, act_swish=True)
+        else:
+            h = _Norm(self.zq_cond, self.dtype, name="norm1")(x, zq,
+                                                              act="swish")
+            h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
 
-        h = _Norm(self.zq_cond, self.dtype, name="norm2")(h, zq, act="swish")
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
+            h = _Norm(self.zq_cond, self.dtype, name="norm2")(h, zq,
+                                                              act="swish")
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
 
         if in_ch != out_ch:
             x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)

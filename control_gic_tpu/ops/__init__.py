@@ -5,3 +5,4 @@ from .router import (triple_grain_router, RouterOutput,
 from .quantize import vq_lookup, vq_quantize, codebook_gather, VQResult
 from .attention import attention, attention_flash, attention_xla
 from .fused_norm import spatial_norm, spatial_norm_reference
+from .norm_conv import spatial_norm_conv, norm_conv_reference

@@ -1,0 +1,313 @@
+"""Fused SpatialNorm(+swish) + 3x3 conv — one Pallas pass per decoder conv.
+
+Every conv in the decoder's ResnetBlocks (reference decoder.py:60-101) is fed
+by a SpatialNorm -> swish chain (reference decoder.py:34-53, 88-96). Under
+XLA that chain costs ~4 full activation HBM round trips per conv: the
+GroupNorm stats read, the normalize read+write (XLA does not fuse elementwise
+producers INTO a convolution operand), and the conv's own read. The measured
+decode profile (tools/trace_report.py, 256² batch 8 bf16) shows the norm
+stats reductions alone at ~12 ms/iter (~40% HBM bw) next to ~34 ms of conv.
+
+This kernel removes the intermediate tensor entirely:
+
+    stats pass (Pallas moment kernel, ops/fused_norm._gn_stats_pallas)
+    conv pass: read x tile (+1 halo row each side) -> normalize, modulate by
+               the on-the-fly 1x1 zq convs, swish -> 9 shifted MXU matmuls
+               (the 3x3 conv as sum_{dy,dx} A[dy,dx-shift] @ W[dy,dx]) -> out
+
+i.e. 2 activation passes instead of ~4, with the conv FLOPs still on the MXU
+in the input dtype (bf16 in production) and f32 accumulation — matching
+XLA's own bf16 conv numerics. Halo rows are gathered by XLA into [B, nH, W, C]
+side arrays (2 rows per block) so Pallas block indexing stays non-overlapping;
+column halos are handled in-kernel by zero-padding W (SAME padding).
+
+Gradients: jax.custom_vjp; the backward recomputes through the jnp/XLA
+reference composition (`norm_conv_reference`) exactly like ops/fused_norm
+does, so the op is safe under grad/remat/scan and training gradients are
+bit-identical to the unfused path.
+
+The unfused path remains the default off-TPU and wherever shapes are
+inadmissible; `norm_conv_enabled()` gates the kernel (see there for the
+measured numbers that set the default).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .fused_norm import (EPS, GROUPS, _gn_stats, _gn_stats_pallas, _row_block,
+                         group_norm_reference, spatial_norm_reference)
+
+
+# ------------------------------------------------------------- reference
+
+def _conv3x3(a, cw, cb):
+    out = lax.conv_general_dilated(
+        a, cw.astype(a.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + cb.astype(out.dtype)
+
+
+def norm_conv_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                        act_swish: bool = True) -> jnp.ndarray:
+    """Unfused composition: SpatialNorm(+swish) then 3x3 SAME conv.
+
+    Matches flax nn.Conv(dtype=x.dtype) numerics: operands cast to x.dtype,
+    f32 accumulation on the MXU, bias added in the output dtype.
+    x: [B,H,W,C]; zq_r: [B,H,W,Z]; cw: [3,3,Cin,Cout]; cb: [Cout].
+    """
+    a = spatial_norm_reference(x, zq_r, gs, gb, wy, by, wb, bb, act_swish)
+    return _conv3x3(a, cw, cb)
+
+
+def group_norm_conv_reference(x, gs, gb, cw, cb,
+                              act_swish: bool = True) -> jnp.ndarray:
+    """Plain GroupNorm(+swish, f32) then 3x3 SAME conv (encoder blocks)."""
+    a = group_norm_reference(x, gs, gb)
+    if act_swish:
+        a = a * jax.nn.sigmoid(a)
+    return _conv3x3(a.astype(x.dtype), cw, cb)
+
+
+# ---------------------------------------------------------------- kernel
+
+def _kernel(*refs, act_swish: bool, modulate: bool, bh: int,
+            w: int, cin: int, co: int, nh: int):
+    from jax.experimental import pallas as pl
+
+    if modulate:
+        (x_ref, xp_ref, xn_ref, zq_ref, zqp_ref, zqn_ref, mean_ref,
+         rstd_ref, gs_ref, gb_ref, wy_ref, by_ref, wb_ref, bb_ref,
+         cw_ref, cb_ref, o_ref) = refs
+    else:
+        (x_ref, xp_ref, xn_ref, mean_ref, rstd_ref, gs_ref, gb_ref,
+         cw_ref, cb_ref, o_ref) = refs
+
+    ib = pl.program_id(1)
+    ih = pl.program_id(2)
+
+    mean = mean_ref[ib]                                   # [C] f32
+    scale = rstd_ref[ib] * gs_ref[0]                      # rstd * gamma
+    beta = gb_ref[0]
+    if modulate:
+        wy = wy_ref[...].astype(jnp.float32)
+        wb = wb_ref[...].astype(jnp.float32)
+        by = by_ref[0]
+        bb = bb_ref[0]
+    cdtype = x_ref.dtype
+
+    def act(xv, zv):
+        """normalize -> modulate -> (swish); xv [r,W,C], zv [r,W,Z]."""
+        out = (xv.astype(jnp.float32) - mean) * scale + beta
+        if modulate:
+            zf = zv.astype(jnp.float32)
+            y = jnp.dot(zf, wy, preferred_element_type=jnp.float32) + by
+            bm = jnp.dot(zf, wb, preferred_element_type=jnp.float32) + bb
+            out = out * y + bm
+        if act_swish:
+            out = out * (1.0 / (1.0 + jnp.exp(-out)))
+        return out.astype(cdtype)
+
+    zq0 = zq_ref[0] if modulate else None
+    zqp0 = zqp_ref[0] if modulate else None
+    zqn0 = zqn_ref[0] if modulate else None
+    a_mid = act(x_ref[0], zq0)                            # [bh, W, C]
+    a_top = jnp.where(ih > 0, act(xp_ref[0], zqp0), 0).astype(cdtype)
+    a_bot = jnp.where(ih < nh - 1,
+                      act(xn_ref[0], zqn0), 0).astype(cdtype)
+    a = jnp.concatenate([a_top, a_mid, a_bot], axis=0)    # [bh+2, W, C]
+    zcol = jnp.zeros((bh + 2, 1, cin), cdtype)
+    a = jnp.concatenate([zcol, a, zcol], axis=1)          # [bh+2, W+2, C]
+
+    acc = jnp.zeros((bh * w, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = a[dy:dy + bh, dx:dx + w, :].reshape(bh * w, cin)
+            acc += jnp.dot(sl, cw_ref[dy * 3 + dx],
+                           preferred_element_type=jnp.float32)
+    o_ref[0] = (acc + cb_ref[0]).reshape(bh, w, co).astype(o_ref.dtype)
+
+
+def _pick_bh(h: int, w: int, target_rows: int = 2048) -> int:
+    """Largest divisor of h with bh*w <= target_rows (floor 1)."""
+    bh = max(1, min(h, target_rows // max(w, 1)))
+    while h % bh:
+        bh -= 1
+    return bh
+
+
+def _pick_co(cout: int, cin: int, itemsize: int,
+             target_bytes: int = 1 << 21) -> int:
+    """Largest divisor of cout (multiple of 128 when possible) keeping the
+    [9, Cin, co] weight block under target_bytes."""
+    if cout <= 128:
+        return cout
+    co = (target_bytes // (9 * cin * itemsize)) // 128 * 128
+    co = max(128, min(co, cout))
+    while cout % co:
+        co -= 128
+    return max(co, 128) if cout % 128 == 0 else cout
+
+
+def admissible(x_shape: Tuple[int, ...], cout: int) -> bool:
+    """Shapes the Pallas path handles efficiently (else: reference path)."""
+    _, h, w, c = x_shape
+    if c % 128 or w % 16 or h < 2:
+        return False
+    if cout > 128 and cout % 128:
+        return False
+    return _row_block(h * w, c) > 0       # stats pass admissibility
+
+
+def _halo_rows(t: jnp.ndarray, bh: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rows i*bh-1 (zeros at i=0) and (i+1)*bh (zeros at i=nh-1) per block.
+
+    t: [B, H, W, C] -> ([B, nH, W, C], [B, nH, W, C])."""
+    b, h, w, c = t.shape
+    nh = h // bh
+    zero = jnp.zeros((b, 1, w, c), t.dtype)
+    prev = jnp.concatenate([zero, t[:, bh - 1::bh][:, :nh - 1]], axis=1)
+    nxt = jnp.concatenate([t[:, bh::bh], zero], axis=1)
+    return prev, nxt
+
+
+def _norm_conv_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                       act_swish: bool, interpret: bool = False,
+                       bh: Optional[int] = None,
+                       co_blk: Optional[int] = None) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+
+    b, h, w, cin = x.shape
+    cout = cw.shape[-1]
+    z = zq_r.shape[-1]
+    bh = bh or _pick_bh(h, w)
+    co_blk = co_blk or _pick_co(cout, cin, x.dtype.itemsize)
+    nh = h // bh
+    nco = cout // co_blk
+
+    rb = _row_block(h * w, cin)
+    if rb > 0 and not interpret:
+        mean_c, rstd_c = _gn_stats_pallas(x.reshape(b, h * w, cin), GROUPS,
+                                          rb, interpret=interpret)
+    else:                                  # jnp stats (interpret/CPU tests)
+        mean, rstd = _gn_stats(x, GROUPS)
+        cg = cin // GROUPS
+        mean_c = jnp.repeat(mean, cg, axis=1)
+        rstd_c = jnp.repeat(rstd, cg, axis=1)
+
+    xp, xn = _halo_rows(x, bh)
+    zp, zn = _halo_rows(zq_r, bh)
+    cwr = cw.reshape(9, cin, cout).astype(x.dtype)
+    f32 = jnp.float32
+
+    row4 = lambda ib, ico, ih: (ib, ih, 0, 0)
+    fixed2 = lambda ib, ico, ih: (0, 0)
+
+    kernel = functools.partial(_kernel, act_swish=act_swish, bh=bh, w=w,
+                               cin=cin, co=co_blk, nh=nh)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nco, nh),
+        in_specs=[
+            pl.BlockSpec((1, bh, w, cin), row4),           # x
+            pl.BlockSpec((1, 1, w, cin), row4),            # prev halo row
+            pl.BlockSpec((1, 1, w, cin), row4),            # next halo row
+            pl.BlockSpec((1, bh, w, z), row4),             # zq
+            pl.BlockSpec((1, 1, w, z), row4),              # zq prev halo
+            pl.BlockSpec((1, 1, w, z), row4),              # zq next halo
+            pl.BlockSpec((b, cin), fixed2),                # mean (per-chan)
+            pl.BlockSpec((b, cin), fixed2),                # rstd
+            pl.BlockSpec((1, cin), fixed2),                # gamma
+            pl.BlockSpec((1, cin), fixed2),                # beta
+            pl.BlockSpec((z, cin), fixed2),                # wy
+            pl.BlockSpec((1, cin), fixed2),                # by
+            pl.BlockSpec((z, cin), fixed2),                # wb
+            pl.BlockSpec((1, cin), fixed2),                # bb
+            pl.BlockSpec((9, cin, co_blk),
+                         lambda ib, ico, ih: (0, 0, ico)), # conv weights
+            pl.BlockSpec((1, co_blk),
+                         lambda ib, ico, ih: (0, ico)),    # conv bias
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, co_blk),
+                               lambda ib, ico, ih: (ib, ih, 0, ico)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        interpret=interpret,
+    )(x, xp, xn, zq_r, zp, zn, mean_c, rstd_c,
+      gs.astype(f32)[None], gb.astype(f32)[None],
+      wy.astype(f32), by.astype(f32)[None],
+      wb.astype(f32), bb.astype(f32)[None],
+      cwr, cb.astype(f32)[None])
+    return out
+
+
+def _make_norm_conv(act_swish: bool, interpret: bool = False):
+    @jax.custom_vjp
+    def fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb):
+        return _norm_conv_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                                  act_swish, interpret=interpret)
+
+    def fwd(*args):
+        return fn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(
+            lambda *a: norm_conv_reference(*a, act_swish=act_swish), *args)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+_NORM_CONV_SWISH = _make_norm_conv(True)
+_NORM_CONV_PLAIN = _make_norm_conv(False)
+_NORM_CONV_SWISH_I = _make_norm_conv(True, interpret=True)
+_NORM_CONV_PLAIN_I = _make_norm_conv(False, interpret=True)
+
+
+def _interpret_forced() -> bool:
+    return os.environ.get("CONTROL_GIC_NORM_CONV") == "interpret"
+
+
+def norm_conv_enabled() -> bool:
+    """Gate for the fused SpatialNorm+conv Pallas path (TPU only).
+
+    Opt-out via CONTROL_GIC_NORM_CONV=0; "interpret" forces the kernel in
+    Pallas interpret mode on any backend (CPU integration tests only).
+    Unlike the norm-only kernel (ops/fused_norm.py, measured net-loss
+    in-model because it breaks XLA epilogue fusion), this kernel CONSUMES
+    the normalized tensor itself, so there is no epilogue left to lose.
+    """
+    flag = os.environ.get("CONTROL_GIC_NORM_CONV", "")
+    if flag == "0":
+        return False
+    if flag == "interpret":
+        return True
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    return True
+
+
+def spatial_norm_conv(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                      act_swish: bool = True,
+                      use_fused: Optional[bool] = None) -> jnp.ndarray:
+    """SpatialNorm(+swish) -> 3x3 SAME conv, Pallas-fused on TPU.
+
+    Falls back to the XLA composition off-TPU or for inadmissible shapes.
+    Parameters mirror the flax modules exactly (see models/blocks.py), so
+    the op is a drop-in for SpatialNorm + nn.Conv with identical pytrees.
+    """
+    if use_fused is None:
+        use_fused = norm_conv_enabled() and admissible(x.shape, cw.shape[-1])
+    if use_fused:
+        if _interpret_forced():
+            fn = _NORM_CONV_SWISH_I if act_swish else _NORM_CONV_PLAIN_I
+        else:
+            fn = _NORM_CONV_SWISH if act_swish else _NORM_CONV_PLAIN
+        return fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb)
+    return norm_conv_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                               act_swish)

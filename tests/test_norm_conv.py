@@ -1,0 +1,129 @@
+"""Fused SpatialNorm+swish+3x3conv: Pallas kernel == XLA composition.
+
+The kernel runs in interpret mode here (CPU suite); on TPU the same kernel
+compiles natively (validated by tools/norm_conv_tune.py on-chip). Covers:
+the reference composition vs the flax modules, the kernel vs the reference
+(row blocking/halos, Cout blocking, Cin != Cout, the Cout=3 conv_out shape),
+gradients through the custom VJP, and the ResnetBlock/Decoder fused param
+wiring via CONTROL_GIC_NORM_CONV=interpret.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from control_gic_tpu.ops.norm_conv import (_norm_conv_forward, _make_norm_conv,
+                                           admissible, norm_conv_reference,
+                                           spatial_norm_conv)
+from control_gic_tpu.ops.fused_norm import spatial_norm_reference
+
+
+def _inputs(rng, b=2, h=16, w=16, cin=128, cout=128, z=4,
+            dtype=jnp.float32):
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), dtype)
+    zq = jnp.asarray(rng.normal(size=(b, h, w, z)), dtype)
+    gs = jnp.asarray(rng.normal(1.0, 0.1, cin), jnp.float32)
+    gb = jnp.asarray(rng.normal(0.0, 0.1, cin), jnp.float32)
+    wy = jnp.asarray(rng.normal(size=(z, cin)) * 0.3, jnp.float32)
+    by = jnp.asarray(rng.normal(size=cin) * 0.1, jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(z, cin)) * 0.3, jnp.float32)
+    bb = jnp.asarray(rng.normal(size=cin) * 0.1, jnp.float32)
+    cw = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05, jnp.float32)
+    cb = jnp.asarray(rng.normal(size=cout) * 0.1, jnp.float32)
+    return x, zq, gs, gb, wy, by, wb, bb, cw, cb
+
+
+def test_reference_matches_flax_composition(rng):
+    """norm_conv_reference == spatial_norm_reference -> nn.Conv."""
+    args = _inputs(rng)
+    x, zq, gs, gb, wy, by, wb, bb, cw, cb = args
+    a = spatial_norm_reference(x, zq, gs, gb, wy, by, wb, bb, act_swish=True)
+    conv = nn.Conv(cw.shape[-1], (3, 3), dtype=x.dtype)
+    want = conv.apply({"params": {"kernel": cw, "bias": cb}}, a)
+    got = norm_conv_reference(*args, act_swish=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_matches_reference_shapes(rng):
+    """Interpret-mode kernel == reference over blocking/shape variants."""
+    cases = [
+        dict(b=2, h=16, w=16, cin=128, cout=128),       # square
+        dict(b=1, h=8, w=32, cin=128, cout=256),        # cin != cout
+        dict(b=2, h=16, w=16, cin=256, cout=128),       # channel reduce
+        dict(b=1, h=16, w=16, cin=128, cout=3),         # conv_out shape
+    ]
+    for case in cases:
+        for act in (True, False):
+            args = _inputs(rng, **case)
+            want = norm_conv_reference(*args, act_swish=act)
+            got = _norm_conv_forward(*args, act_swish=act, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
+                err_msg=f"{case} act={act}")
+
+
+def test_kernel_row_and_cout_blocking(rng):
+    """Forcing small bh (halo rows between blocks) and co_blk must not
+    change the result."""
+    args = _inputs(rng, b=2, h=16, w=16, cin=128, cout=256)
+    want = norm_conv_reference(*args, act_swish=True)
+    for bh, co in [(4, 128), (2, 256), (8, 128), (16, 256)]:
+        got = _norm_conv_forward(*args, act_swish=True, interpret=True,
+                                 bh=bh, co_blk=co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"bh={bh} co={co}")
+
+
+def test_gradients_match_reference(rng):
+    """custom-VJP grads == grads of the unfused composition (identical by
+    construction: the backward recomputes through the reference)."""
+    args = _inputs(rng, b=1, h=8, w=16, cin=128, cout=128)
+    fused = _make_norm_conv(True, interpret=True)
+
+    def loss(fn, *a):
+        return jnp.sum(jnp.square(fn(*a).astype(jnp.float32)))
+
+    gf = jax.grad(lambda *a: loss(fused, *a), argnums=tuple(range(10)))(*args)
+    gr = jax.grad(lambda *a: loss(
+        lambda *b: norm_conv_reference(*b, act_swish=True), *a),
+        argnums=tuple(range(10)))(*args)
+    for i, (a, b) in enumerate(zip(gf, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"arg {i}")
+
+
+def test_admissibility_gate(rng):
+    assert admissible((2, 16, 16, 128), 128)
+    assert admissible((2, 64, 64, 512), 3)
+    assert not admissible((2, 16, 16, 96), 128)      # C not lane-aligned
+    assert not admissible((2, 16, 12, 128), 128)     # W not sublane-aligned
+    assert not admissible((2, 16, 16, 128), 192)     # Cout not blockable
+    # inadmissible shapes fall back to the reference silently
+    args = _inputs(rng, cin=128, cout=128, w=12)
+    got = spatial_norm_conv(*args, act_swish=True)
+    want = norm_conv_reference(*args, act_swish=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_resnet_block_fused_wiring(rng, monkeypatch):
+    """ResnetBlock/decoder fused branch (param wiring, zq resize reuse)
+    == unfused branch with the same params, via the interpret escape."""
+    from control_gic_tpu.models.blocks import ResnetBlock
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 128)), jnp.float32)
+    zq = jnp.asarray(rng.normal(size=(1, 8, 16, 4)), jnp.float32)
+
+    block = ResnetBlock(out_channels=256, zq_cond=True, dtype=jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, zq)
+    want = block.apply(params, x, zq)
+
+    monkeypatch.setenv("CONTROL_GIC_NORM_CONV", "interpret")
+    params_f = block.init(jax.random.PRNGKey(0), x, zq)
+    chex_equal = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), params, params_f))
+    assert chex_equal, "fused path must create the identical param tree"
+    got = block.apply(params, x, zq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
