@@ -27,7 +27,8 @@ from flax import linen as nn
 from ..ops.attention import attention
 from ..ops.fused_norm import spatial_norm
 from ..ops.norm_conv import (admissible as _norm_conv_admissible,
-                             norm_conv_enabled, spatial_norm_conv)
+                             group_norm_conv, norm_conv_enabled,
+                             spatial_norm_conv)
 from ..ops.resample import nearest_resize, upsample_nearest
 
 
@@ -36,11 +37,17 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(num_groups=32, eps=1e-6, affine) computed in f32."""
+    """GroupNorm(num_groups=32, eps=1e-6, affine) computed in f32.
+
+    `return_params=True` creates the identical param tree (norm/{scale,
+    bias}) but returns (scale, bias) instead of applying, so a caller can
+    fuse the norm into a following conv (ops/norm_conv.group_norm_conv)."""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
+        if return_params:
+            return _GNParams(x.shape[-1], name="norm")()
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="norm")(
                              x.astype(jnp.float32))
@@ -132,7 +139,9 @@ class _Norm(nn.Module):
             assert zq is not None
             return SpatialNorm(dtype=self.dtype, name="spatial")(
                 x, zq, act=act, return_params=return_params)
-        assert not return_params
+        if return_params:
+            return GroupNorm32(dtype=self.dtype, name="group")(
+                x, return_params=True)
         h = GroupNorm32(dtype=self.dtype, name="group")(x)
         return swish(h) if act == "swish" else h
 
@@ -148,12 +157,16 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
 
-        # Fused SpatialNorm+swish+conv Pallas path (TPU): same param tree,
-        # one kernel per norm->conv pair instead of 4 HBM round trips.
-        fuse = (self.zq_cond and zq is not None and norm_conv_enabled()
-                and (self.dropout == 0.0 or deterministic)
-                and _norm_conv_admissible(x.shape, out_ch)
-                and _norm_conv_admissible(x.shape[:3] + (out_ch,), out_ch))
+        # Fused norm+swish+conv Pallas paths (TPU): same param tree, one
+        # kernel per norm->conv pair instead of ~4 HBM round trips.
+        # SpatialNorm+conv for decoder blocks (zq conditioning), plain
+        # GroupNorm+conv for encoder blocks.
+        fusible = (norm_conv_enabled()
+                   and (self.dropout == 0.0 or deterministic)
+                   and _norm_conv_admissible(x.shape, out_ch)
+                   and _norm_conv_admissible(x.shape[:3] + (out_ch,), out_ch))
+        fuse = self.zq_cond and zq is not None and fusible
+        fuse_plain = (not self.zq_cond) and fusible
         if fuse:
             xd = x.astype(self.dtype)
             zq_r, *np1 = _Norm(True, self.dtype, name="norm1")(
@@ -164,6 +177,16 @@ class ResnetBlock(nn.Module):
                 h, zq, return_params=True)
             k2, b2 = _Conv3x3Params(out_ch, out_ch, name="conv2")()
             h = spatial_norm_conv(h, zq_r, *np2, k2, b2, act_swish=True)
+        elif fuse_plain:
+            xd = x.astype(self.dtype)
+            g1, gb1 = _Norm(False, self.dtype, name="norm1")(
+                x, return_params=True)
+            k1, b1 = _Conv3x3Params(in_ch, out_ch, name="conv1")()
+            h = group_norm_conv(xd, g1, gb1, k1, b1, act_swish=True)
+            g2, gb2 = _Norm(False, self.dtype, name="norm2")(
+                h, return_params=True)
+            k2, b2 = _Conv3x3Params(out_ch, out_ch, name="conv2")()
+            h = group_norm_conv(h, g2, gb2, k2, b2, act_swish=True)
         else:
             h = _Norm(self.zq_cond, self.dtype, name="norm1")(x, zq,
                                                               act="swish")

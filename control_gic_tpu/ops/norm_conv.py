@@ -88,7 +88,7 @@ def _kernel(*refs, act_swish: bool, modulate: bool, bh: int,
         (x_ref, xp_ref, xn_ref, mean_ref, rstd_ref, gs_ref, gb_ref,
          cw_ref, cb_ref, o_ref) = refs
 
-    ib = pl.program_id(1)
+    ib = pl.program_id(0)
     ih = pl.program_id(2)
 
     mean = mean_ref[ib]                                   # [C] f32
@@ -180,11 +180,32 @@ def _norm_conv_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
                        act_swish: bool, interpret: bool = False,
                        bh: Optional[int] = None,
                        co_blk: Optional[int] = None) -> jnp.ndarray:
+    """SpatialNorm(+swish)+conv (modulate=True path)."""
+    return _norm_conv_forward_impl(
+        x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, act_swish=act_swish,
+        modulate=True, interpret=interpret, bh=bh, co_blk=co_blk)
+
+
+def _group_norm_conv_forward(x, gs, gb, cw, cb, act_swish: bool,
+                             interpret: bool = False,
+                             bh: Optional[int] = None,
+                             co_blk: Optional[int] = None) -> jnp.ndarray:
+    """GroupNorm(+swish)+conv (modulate=False path, encoder blocks)."""
+    return _norm_conv_forward_impl(
+        x, None, gs, gb, None, None, None, None, cw, cb,
+        act_swish=act_swish, modulate=False, interpret=interpret,
+        bh=bh, co_blk=co_blk)
+
+
+def _norm_conv_forward_impl(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, *,
+                            act_swish: bool, modulate: bool,
+                            interpret: bool = False,
+                            bh: Optional[int] = None,
+                            co_blk: Optional[int] = None) -> jnp.ndarray:
     from jax.experimental import pallas as pl
 
     b, h, w, cin = x.shape
     cout = cw.shape[-1]
-    z = zq_r.shape[-1]
     bh = bh or _pick_bh(h, w)
     co_blk = co_blk or _pick_co(cout, cin, x.dtype.itemsize)
     nh = h // bh
@@ -201,47 +222,64 @@ def _norm_conv_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
         rstd_c = jnp.repeat(rstd, cg, axis=1)
 
     xp, xn = _halo_rows(x, bh)
-    zp, zn = _halo_rows(zq_r, bh)
     cwr = cw.reshape(9, cin, cout).astype(x.dtype)
     f32 = jnp.float32
 
     row4 = lambda ib, ico, ih: (ib, ih, 0, 0)
     fixed2 = lambda ib, ico, ih: (0, 0)
 
-    kernel = functools.partial(_kernel, act_swish=act_swish, bh=bh, w=w,
+    in_specs = [
+        pl.BlockSpec((1, bh, w, cin), row4),           # x
+        pl.BlockSpec((1, 1, w, cin), row4),            # prev halo row
+        pl.BlockSpec((1, 1, w, cin), row4),            # next halo row
+    ]
+    operands = [x, xp, xn]
+    if modulate:
+        z = zq_r.shape[-1]
+        zp, zn = _halo_rows(zq_r, bh)
+        in_specs += [
+            pl.BlockSpec((1, bh, w, z), row4),         # zq
+            pl.BlockSpec((1, 1, w, z), row4),          # zq prev halo
+            pl.BlockSpec((1, 1, w, z), row4),          # zq next halo
+        ]
+        operands += [zq_r, zp, zn]
+    in_specs += [
+        pl.BlockSpec((b, cin), fixed2),                # mean (per-chan)
+        pl.BlockSpec((b, cin), fixed2),                # rstd
+        pl.BlockSpec((1, cin), fixed2),                # gamma
+        pl.BlockSpec((1, cin), fixed2),                # beta
+    ]
+    operands += [mean_c, rstd_c,
+                 gs.astype(f32)[None], gb.astype(f32)[None]]
+    if modulate:
+        in_specs += [
+            pl.BlockSpec((z, cin), fixed2),            # wy
+            pl.BlockSpec((1, cin), fixed2),            # by
+            pl.BlockSpec((z, cin), fixed2),            # wb
+            pl.BlockSpec((1, cin), fixed2),            # bb
+        ]
+        operands += [wy.astype(f32), by.astype(f32)[None],
+                     wb.astype(f32), bb.astype(f32)[None]]
+    in_specs += [
+        pl.BlockSpec((9, cin, co_blk),
+                     lambda ib, ico, ih: (0, 0, ico)),  # conv weights
+        pl.BlockSpec((1, co_blk),
+                     lambda ib, ico, ih: (0, ico)),     # conv bias
+    ]
+    operands += [cwr, cb.astype(f32)[None]]
+
+    kernel = functools.partial(_kernel, act_swish=act_swish,
+                               modulate=modulate, bh=bh, w=w,
                                cin=cin, co=co_blk, nh=nh)
     out = pl.pallas_call(
         kernel,
         grid=(b, nco, nh),
-        in_specs=[
-            pl.BlockSpec((1, bh, w, cin), row4),           # x
-            pl.BlockSpec((1, 1, w, cin), row4),            # prev halo row
-            pl.BlockSpec((1, 1, w, cin), row4),            # next halo row
-            pl.BlockSpec((1, bh, w, z), row4),             # zq
-            pl.BlockSpec((1, 1, w, z), row4),              # zq prev halo
-            pl.BlockSpec((1, 1, w, z), row4),              # zq next halo
-            pl.BlockSpec((b, cin), fixed2),                # mean (per-chan)
-            pl.BlockSpec((b, cin), fixed2),                # rstd
-            pl.BlockSpec((1, cin), fixed2),                # gamma
-            pl.BlockSpec((1, cin), fixed2),                # beta
-            pl.BlockSpec((z, cin), fixed2),                # wy
-            pl.BlockSpec((1, cin), fixed2),                # by
-            pl.BlockSpec((z, cin), fixed2),                # wb
-            pl.BlockSpec((1, cin), fixed2),                # bb
-            pl.BlockSpec((9, cin, co_blk),
-                         lambda ib, ico, ih: (0, 0, ico)), # conv weights
-            pl.BlockSpec((1, co_blk),
-                         lambda ib, ico, ih: (0, ico)),    # conv bias
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bh, w, co_blk),
                                lambda ib, ico, ih: (ib, ih, 0, ico)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         interpret=interpret,
-    )(x, xp, xn, zq_r, zp, zn, mean_c, rstd_c,
-      gs.astype(f32)[None], gb.astype(f32)[None],
-      wy.astype(f32), by.astype(f32)[None],
-      wb.astype(f32), bb.astype(f32)[None],
-      cwr, cb.astype(f32)[None])
+    )(*operands)
     return out
 
 
@@ -263,10 +301,33 @@ def _make_norm_conv(act_swish: bool, interpret: bool = False):
     return fn
 
 
+def _make_group_norm_conv(act_swish: bool, interpret: bool = False):
+    @jax.custom_vjp
+    def fn(x, gs, gb, cw, cb):
+        return _group_norm_conv_forward(x, gs, gb, cw, cb,
+                                        act_swish, interpret=interpret)
+
+    def fwd(*args):
+        return fn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(
+            lambda *a: group_norm_conv_reference(*a, act_swish=act_swish),
+            *args)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 _NORM_CONV_SWISH = _make_norm_conv(True)
 _NORM_CONV_PLAIN = _make_norm_conv(False)
 _NORM_CONV_SWISH_I = _make_norm_conv(True, interpret=True)
 _NORM_CONV_PLAIN_I = _make_norm_conv(False, interpret=True)
+_GN_CONV_SWISH = _make_group_norm_conv(True)
+_GN_CONV_PLAIN = _make_group_norm_conv(False)
+_GN_CONV_SWISH_I = _make_group_norm_conv(True, interpret=True)
+_GN_CONV_PLAIN_I = _make_group_norm_conv(False, interpret=True)
 
 
 def _interpret_forced() -> bool:
@@ -311,3 +372,24 @@ def spatial_norm_conv(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
         return fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb)
     return norm_conv_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
                                act_swish)
+
+
+def group_norm_conv(x, gs, gb, cw, cb, act_swish: bool = True,
+                    use_fused: Optional[bool] = None) -> jnp.ndarray:
+    """GroupNorm(+swish) -> 3x3 SAME conv, Pallas-fused on TPU.
+
+    The encoder-side twin of `spatial_norm_conv` (no zq modulation):
+    every encoder ResnetBlock conv is fed by GroupNorm -> swish
+    (reference vqvae_blocks.py:78-137), and the encoder heads end in
+    GroupNorm -> swish -> conv_out (vqvae_blocks.py:286-297). Falls back
+    to the XLA composition off-TPU or for inadmissible shapes.
+    """
+    if use_fused is None:
+        use_fused = norm_conv_enabled() and admissible(x.shape, cw.shape[-1])
+    if use_fused:
+        if _interpret_forced():
+            fn = _GN_CONV_SWISH_I if act_swish else _GN_CONV_PLAIN_I
+        else:
+            fn = _GN_CONV_SWISH if act_swish else _GN_CONV_PLAIN
+        return fn(x, gs, gb, cw, cb)
+    return group_norm_conv_reference(x, gs, gb, cw, cb, act_swish)

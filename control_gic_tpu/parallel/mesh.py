@@ -5,8 +5,9 @@ The reference's only distribution strategy is Lightning-DDP over NCCL
 with the batch sharded over a 'data' axis: jit then inserts gradient psums
 over ICI automatically. High-res tiles are likewise sharded over 'data'
 (tiles are independent in the reference, inference_high_resolution.py:234-251,
-so no halo exchange is needed for parity — see parallel/spatial.py for the
-fused single-pass alternative).
+so no halo exchange is needed for parity — see parallel/spatial_encoder.py
+/ spatial_decoder.py / spatial_codec.py for the fused single-pass
+alternative).
 """
 from __future__ import annotations
 

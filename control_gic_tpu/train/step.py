@@ -4,10 +4,13 @@ One fused step per batch computes both updates the reference performs as two
 Lightning optimizer passes (model.py:155-174):
   1. generator update: MSE + LPIPS + 0.1*(-mean D(x̂)) + codebook loss
   2. discriminator update: hinge(D(x), D(sg(x̂)))
-The reconstruction is computed once and reused (the reference re-runs the
-full forward for the discriminator pass with identical generator weights —
-recomputation, not new information; fusing halves the cost and is the
-TPU-idiomatic formulation). Codebook-usage counters accumulate via bincount
+The reconstruction is computed once and reused. Semantics deviation, on
+purpose: Lightning's second optimizer pass re-runs the forward AFTER the
+generator update, so the reference discriminator sees the post-update
+reconstruction; the fused step feeds it the pre-update one (one half-step of
+staleness on the discriminator's input — see docs/DESIGN.md). Fusing halves
+the forward cost and is the TPU-idiomatic formulation.
+Codebook-usage counters accumulate via bincount
 on-device (vs the reference's per-token Python loop, quantize.py:79-81).
 
 Data parallelism: `Trainer.jit_step` accepts shardings; with a batch sharded

@@ -12,8 +12,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from control_gic_tpu.ops.norm_conv import (_norm_conv_forward, _make_norm_conv,
-                                           admissible, norm_conv_reference,
+from control_gic_tpu.ops.norm_conv import (_group_norm_conv_forward,
+                                           _make_group_norm_conv,
+                                           _norm_conv_forward, _make_norm_conv,
+                                           admissible, group_norm_conv,
+                                           group_norm_conv_reference,
+                                           norm_conv_reference,
                                            spatial_norm_conv)
 from control_gic_tpu.ops.fused_norm import spatial_norm_reference
 
@@ -74,6 +78,99 @@ def test_kernel_row_and_cout_blocking(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=2e-4,
                                    err_msg=f"bh={bh} co={co}")
+
+
+def _plain_inputs(rng, b=2, h=16, w=16, cin=128, cout=128,
+                  dtype=jnp.float32):
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)), dtype)
+    gs = jnp.asarray(rng.normal(1.0, 0.1, cin), jnp.float32)
+    gb = jnp.asarray(rng.normal(0.0, 0.1, cin), jnp.float32)
+    cw = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05, jnp.float32)
+    cb = jnp.asarray(rng.normal(size=cout) * 0.1, jnp.float32)
+    return x, gs, gb, cw, cb
+
+
+def test_plain_kernel_matches_reference_shapes(rng):
+    """GroupNorm(+swish)+conv kernel (modulate=False, encoder blocks) ==
+    the XLA composition over blocking/shape variants."""
+    cases = [
+        dict(b=2, h=16, w=16, cin=128, cout=128),       # square
+        dict(b=1, h=8, w=32, cin=128, cout=256),        # cin != cout
+        dict(b=2, h=16, w=16, cin=256, cout=4),         # encoder conv_out
+    ]
+    for case in cases:
+        for act in (True, False):
+            args = _plain_inputs(rng, **case)
+            want = group_norm_conv_reference(*args, act_swish=act)
+            got = _group_norm_conv_forward(*args, act_swish=act,
+                                           interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
+                err_msg=f"{case} act={act}")
+    # row blocking across halo boundaries
+    args = _plain_inputs(rng, b=2, h=16, w=16, cin=128, cout=128)
+    want = group_norm_conv_reference(*args, act_swish=True)
+    for bh in (2, 4, 8):
+        got = _group_norm_conv_forward(*args, act_swish=True,
+                                       interpret=True, bh=bh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4, err_msg=f"bh={bh}")
+
+
+def test_plain_gradients_match_reference(rng):
+    args = _plain_inputs(rng, b=1, h=8, w=16, cin=128, cout=128)
+    fused = _make_group_norm_conv(True, interpret=True)
+
+    def loss(fn, *a):
+        return jnp.sum(jnp.square(fn(*a).astype(jnp.float32)))
+
+    gf = jax.grad(lambda *a: loss(fused, *a), argnums=tuple(range(5)))(*args)
+    gr = jax.grad(lambda *a: loss(
+        lambda *b: group_norm_conv_reference(*b, act_swish=True), *a),
+        argnums=tuple(range(5)))(*args)
+    for i, (a, b) in enumerate(zip(gf, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"arg {i}")
+
+
+def test_encoder_block_fused_wiring(rng, monkeypatch):
+    """Plain (encoder-style) ResnetBlock fused branch == unfused branch
+    with the same params, via the interpret escape."""
+    from control_gic_tpu.models.blocks import ResnetBlock
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 128)), jnp.float32)
+
+    block = ResnetBlock(out_channels=256, dtype=jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x)
+    want = block.apply(params, x)
+
+    monkeypatch.setenv("CONTROL_GIC_NORM_CONV", "interpret")
+    params_f = block.init(jax.random.PRNGKey(0), x)
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), params, params_f))
+    assert same, "fused path must create the identical param tree"
+    got = block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_encoder_midhead_fused_wiring(rng, monkeypatch):
+    """Encoder _MidHead (norm_out -> swish -> conv_out) fused == unfused."""
+    from control_gic_tpu.models.encoder import _MidHead
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 128)), jnp.float32)
+    head = _MidHead(z_channels=4, dropout=0.0, dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), x)
+    want = head.apply(params, x)
+
+    monkeypatch.setenv("CONTROL_GIC_NORM_CONV", "interpret")
+    params_f = head.init(jax.random.PRNGKey(0), x)
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), params, params_f))
+    assert same, "fused path must create the identical param tree"
+    got = head.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
 
 
 def test_gradients_match_reference(rng):
