@@ -25,8 +25,8 @@ assumed: ref_A100 = A100_TF32_PEAK * EAGER_MFU / FLOPS_PER_IMAGE, with
   A100_TF32_PEAK = 156e12 (published dense TF32 peak),
   EAGER_MFU = 0.15 (typical eager-PyTorch conv/attention-mix utilization —
     generous to the reference; higher assumed MFU => harder target for us),
-  FLOPS_PER_IMAGE measured from XLA cost analysis of this exact round-trip
-    (falls back to the recorded constant below if the backend can't report).
+  FLOPS_PER_IMAGE from XLA cost analysis of this exact round-trip on the
+    CPU backend (see the constant's note; the TPU plugin under-reports).
 vs_baseline = value / (3 * ref_A100). The absolute img/s is authoritative.
 """
 import json
@@ -37,10 +37,14 @@ import numpy as np
 
 A100_TF32_PEAK = 156e12
 EAGER_MFU = 0.15
-# XLA cost-analysis flops for one 256x256 image through the round-trip,
-# recorded from a successful run (used only if the backend cannot report
-# cost analysis at bench time).
-FLOPS_PER_IMAGE_FALLBACK = 1.09e12
+# Canonical FLOPs for one 256x256 image through the round-trip: XLA cost
+# analysis of this exact jitted program on the CPU backend (reproduce with
+# jax.config.update("jax_platforms","cpu") then .lower(...).compile()
+# .cost_analysis()["flops"]). FLOPs are a property of the math, not the
+# backend; the TPU plugin's cost analysis under-reports (0.194e12 — convs
+# behind custom calls are not counted), so the live value is logged for
+# reference but never used for vs_baseline / MFU.
+FLOPS_PER_IMAGE = 1.09e12
 
 # chip peak bf16 FLOP/s by device-kind substring (public TPU specs)
 CHIP_PEAKS = [
@@ -102,20 +106,19 @@ def main():
         return jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
 
     extra = {}
-    flops_per_image = None
 
     # ------------------------------------------------ headline: rt256
     fn = roundtrip_scan_fn((256, 256))
     xs_warm = rand_imgs((iters, batch, 256, 256, 3))
     xs = rand_imgs((iters, batch, 256, 256, 3))
-    try:  # measured FLOPs for the baseline derivation + MFU
+    try:  # live cost analysis, logged for reference only (see FLOPS note)
         lowered = jax.jit(
             lambda v, x: model.apply(v, x, 0.1, 0.4)[0]).lower(variables,
                                                                xs[0, 0:1])
         ca = lowered.compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         if ca and ca.get("flops"):
-            flops_per_image = float(ca["flops"])
+            extra["flops_live_tflops"] = round(float(ca["flops"]) / 1e12, 4)
     except Exception:
         pass
     float(fn(variables, xs_warm))   # warmup / compile
@@ -129,10 +132,8 @@ def main():
         jax.profiler.stop_trace()
     rt256 = batch * iters / dt
 
-    fpi = flops_per_image or FLOPS_PER_IMAGE_FALLBACK
-    extra["flops_per_image"] = round(fpi / 1e12, 4)
-    extra["flops_source"] = ("xla_cost_analysis" if flops_per_image
-                             else "recorded_fallback")
+    fpi = FLOPS_PER_IMAGE
+    extra["flops_per_image_tflops"] = round(fpi / 1e12, 4)
     kind = jax.devices()[0].device_kind.lower()
     for sub, peak in CHIP_PEAKS:
         if sub in kind:

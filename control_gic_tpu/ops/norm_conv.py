@@ -335,22 +335,26 @@ def _interpret_forced() -> bool:
 
 
 def norm_conv_enabled() -> bool:
-    """Gate for the fused SpatialNorm+conv Pallas path (TPU only).
+    """Gate for the fused SpatialNorm+conv Pallas path — OPT-IN
+    (CONTROL_GIC_NORM_CONV=1 on TPU; "interpret" forces interpret mode on
+    any backend for CPU integration tests).
 
-    Opt-out via CONTROL_GIC_NORM_CONV=0; "interpret" forces the kernel in
-    Pallas interpret mode on any backend (CPU integration tests only).
-    Unlike the norm-only kernel (ops/fused_norm.py, measured net-loss
-    in-model because it breaks XLA epilogue fusion), this kernel CONSUMES
-    the normalized tensor itself, so there is no epilogue left to lose.
+    Measured on-chip (bench.py, 256² batch 8 bf16 round-trip, round 2):
+    kernel ON 96.6 img/s vs OFF 112.0 img/s — a 14% net LOSS, so the
+    default is the XLA composition. The hypothesis that consuming the
+    normalized tensor in-kernel leaves XLA no epilogue to lose was wrong
+    in-model: the 9-shifted-matmul conv formulation plus the in-kernel
+    halo concatenates is slower than XLA's native conv pipeline, which
+    outweighs the saved activation round-trips. Kept opt-in as groundwork
+    (correctness is pinned by tests/test_norm_conv.py); see
+    tools/norm_conv_tune.py for the per-shape standalone numbers.
     """
     flag = os.environ.get("CONTROL_GIC_NORM_CONV", "")
-    if flag == "0":
-        return False
     if flag == "interpret":
         return True
     if jax.default_backend() in ("cpu", "gpu"):
         return False
-    return True
+    return flag == "1"
 
 
 def spatial_norm_conv(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,

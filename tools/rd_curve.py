@@ -73,9 +73,15 @@ def main():
                         bpps.append(enc.bpp)
                         psnrs.append(psnr(np.clip(np.asarray(rec), 0, 1),
                                           img))
+            # bpp min/max/std document the constant-bitrate property the
+            # reference claims dataset-level (README.md:56: per-image bpp
+            # confined to 0.262-0.277 at ratio (0.1, 0.8, 0.1)).
             row = {"coarse": rc, "medium": rm,
                    "fine": round(max(1 - rc - rm, 0), 4),
                    "bpp": round(float(np.mean(bpps)), 5),
+                   "bpp_min": round(float(np.min(bpps)), 5),
+                   "bpp_max": round(float(np.max(bpps)), 5),
+                   "bpp_std": round(float(np.std(bpps)), 5),
                    "psnr": round(float(np.mean(psnrs)), 3),
                    "n": len(bpps)}
             rows.append(row)

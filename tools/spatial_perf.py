@@ -1,0 +1,83 @@
+"""Sharded single-pass codec vs batched tiles: perf + overhead comparison.
+
+Measures, on the SAME mesh and image:
+  (a) tile path    — parallel/tiling.compress_tiled (independent 768px
+                     tiles batched through one program, batch sharded)
+  (b) spatial path — parallel/spatial_codec.compress_spatial (H-sharded
+                     single pass: halo convs, psum GroupNorm, all-gather
+                     attention, ONE global routing decision)
+
+On this box the mesh is 8 virtual CPU devices over 2 cores, so absolute
+numbers are not TPU statements; what transfers is the RELATIVE cost of the
+spatial path's collectives vs the tile path's embarrassing parallelism at
+identical model/math, plus each path's bpp (the spatial path's single
+global routing budget vs per-tile budgets). Results go into the
+DESIGN.md "when to use which" table (VERDICT round-1 item 7).
+
+python tools/spatial_perf.py   (env: SP_CH=32 SP_HW=1024x1536 SP_REPS=2)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    from control_gic_tpu.codec import CGICCodec
+    from control_gic_tpu.models import CGIC, CGICConfig
+    from control_gic_tpu.parallel.mesh import make_mesh
+    from control_gic_tpu.parallel.spatial_codec import compress_spatial
+    from control_gic_tpu.parallel.tiling import compress_tiled
+
+    ch = int(os.environ.get("SP_CH", "32"))
+    h, w = (int(v) for v in os.environ.get("SP_HW", "1024x1536").split("x"))
+    reps = int(os.environ.get("SP_REPS", "2"))
+
+    cfg = CGICConfig(ch=ch, ch_mult=(1, 2, 2, 4, 4), num_res_blocks=2,
+                     attn_resolutions=(32,), resolution=256)
+    model = CGIC(cfg)
+    rng = np.random.default_rng(0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), 0.1, 0.4)
+    counts = np.maximum(rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
+    codec = CGICCodec(model, variables, counts)
+    mesh = make_mesh(8)
+
+    img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+
+    def timed(fn, label):
+        rec, bpp, _ = fn()                      # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rec, bpp, _ = fn()
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{label:>28}: {dt*1e3:9.1f} ms   bpp={bpp:.4f}")
+        return rec, bpp, dt
+
+    print(f"model ch={ch}, image {h}x{w}, mesh 8 virtual CPU devices")
+    rec_t, bpp_t, dt_t = timed(
+        lambda: compress_tiled(codec, img, 0.1, 0.4, mesh=mesh,
+                               device_pack=False), "tiled (batched, sharded)")
+    rec_s, bpp_s, dt_s = timed(
+        lambda: compress_spatial(codec, img, 0.1, 0.4, mesh),
+        "spatial (H-sharded 1-pass)")
+    print(f"spatial/tiled wall ratio: {dt_s/dt_t:.2f}x; "
+          f"bpp delta (global vs per-tile routing): {bpp_s - bpp_t:+.4f}")
+    print(f"recon mean abs diff (different routing => different streams): "
+          f"{np.mean(np.abs(rec_t - rec_s)):.4f}")
+
+
+if __name__ == "__main__":
+    main()
