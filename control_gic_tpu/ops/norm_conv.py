@@ -133,9 +133,15 @@ def _kernel(*refs, act_swish: bool, modulate: bool, bh: int,
     o_ref[0] = (acc + cb_ref[0]).reshape(bh, w, co).astype(o_ref.dtype)
 
 
-def _pick_bh(h: int, w: int, target_rows: int = 2048) -> int:
-    """Largest divisor of h with bh*w <= target_rows (floor 1)."""
-    bh = max(1, min(h, target_rows // max(w, 1)))
+def _pick_bh(h: int, w: int, cin: int = 128, itemsize: int = 2,
+             target_bytes: int = 1 << 20) -> int:
+    """Largest divisor of h with the [bh, W, Cin] input tile <= target_bytes.
+
+    1MB tiles from the on-chip sweep (tools/norm_conv_tune.py, v5e): bh=16
+    beats 8 at 256^2x128 (3.54 vs 3.66 ms) and is the best *compilable*
+    block at 128^2x256 (2.64 ms; the 2MB bh=32 tile crashes the TPU
+    compile at co=256 outside a scan)."""
+    bh = max(1, min(h, target_bytes // max(w * cin * itemsize, 1)))
     while h % bh:
         bh -= 1
     return bh
@@ -206,7 +212,7 @@ def _norm_conv_forward_impl(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, *,
 
     b, h, w, cin = x.shape
     cout = cw.shape[-1]
-    bh = bh or _pick_bh(h, w)
+    bh = bh or _pick_bh(h, w, cin, x.dtype.itemsize)
     co_blk = co_blk or _pick_co(cout, cin, x.dtype.itemsize)
     nh = h // bh
     nco = cout // co_blk
@@ -334,20 +340,33 @@ def _interpret_forced() -> bool:
     return os.environ.get("CONTROL_GIC_NORM_CONV") == "interpret"
 
 
+def _fuse_min_h() -> int:
+    """Shape policy for the default gating: fuse only height >= this.
+
+    The on-chip sweep (tools/norm_conv_tune.py, v5e, batch 8 bf16) shows
+    the kernel wins standalone only on bandwidth-bound high-res blocks —
+    256^2x128: 3.54 vs 4.19 ms and 128^2x256: 2.60 vs 2.91 ms — and ties
+    or loses on compute-bound low-res ones (64^2x512: 2.42 vs 2.41;
+    32^2x512: 1.72 vs 1.64). Interpret-mode tests bypass the policy so
+    every shape stays covered."""
+    return int(os.environ.get("CONTROL_GIC_NORM_CONV_MINH", "128"))
+
+
 def norm_conv_enabled() -> bool:
     """Gate for the fused SpatialNorm+conv Pallas path — OPT-IN
     (CONTROL_GIC_NORM_CONV=1 on TPU; "interpret" forces interpret mode on
     any backend for CPU integration tests).
 
     Measured on-chip (bench.py, 256² batch 8 bf16 round-trip, round 2):
-    kernel ON 96.6 img/s vs OFF 112.0 img/s — a 14% net LOSS, so the
-    default is the XLA composition. The hypothesis that consuming the
-    normalized tensor in-kernel leaves XLA no epilogue to lose was wrong
-    in-model: the 9-shifted-matmul conv formulation plus the in-kernel
-    halo concatenates is slower than XLA's native conv pipeline, which
-    outweighs the saved activation round-trips. Kept opt-in as groundwork
-    (correctness is pinned by tests/test_norm_conv.py); see
-    tools/norm_conv_tune.py for the per-shape standalone numbers.
+    kernel everywhere 96.6 img/s, shape-gated to its standalone-winning
+    shapes (h>=128, swept blocks) 108.6, all-XLA 112.0 — a net LOSS both
+    ways, so the default is the XLA composition. The hypothesis that
+    consuming the normalized tensor in-kernel leaves XLA no epilogue to
+    lose was wrong in-model: the pallas_call boundary still forfeits the
+    surrounding fusion (residual adds, mask gates), and the 9-shifted-
+    matmul conv only beats XLA's conv pipeline on bandwidth-bound
+    high-res blocks. Kept opt-in as groundwork (correctness pinned by
+    tests/test_norm_conv.py); per-shape numbers: tools/norm_conv_tune.py.
     """
     flag = os.environ.get("CONTROL_GIC_NORM_CONV", "")
     if flag == "interpret":
@@ -367,7 +386,10 @@ def spatial_norm_conv(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
     the op is a drop-in for SpatialNorm + nn.Conv with identical pytrees.
     """
     if use_fused is None:
-        use_fused = norm_conv_enabled() and admissible(x.shape, cw.shape[-1])
+        use_fused = (norm_conv_enabled()
+                     and admissible(x.shape, cw.shape[-1])
+                     and (_interpret_forced()
+                          or x.shape[1] >= _fuse_min_h()))
     if use_fused:
         if _interpret_forced():
             fn = _NORM_CONV_SWISH_I if act_swish else _NORM_CONV_PLAIN_I
@@ -389,7 +411,10 @@ def group_norm_conv(x, gs, gb, cw, cb, act_swish: bool = True,
     to the XLA composition off-TPU or for inadmissible shapes.
     """
     if use_fused is None:
-        use_fused = norm_conv_enabled() and admissible(x.shape, cw.shape[-1])
+        use_fused = (norm_conv_enabled()
+                     and admissible(x.shape, cw.shape[-1])
+                     and (_interpret_forced()
+                          or x.shape[1] >= _fuse_min_h()))
     if use_fused:
         if _interpret_forced():
             fn = _GN_CONV_SWISH_I if act_swish else _GN_CONV_PLAIN_I

@@ -87,7 +87,7 @@ def main():
         print(f"[{name} {b}x{h}x{w}x{c}] xla    : {dt*1e3:7.3f} ms "
               f"({gflop/dt/1e3:6.1f} TF/s)", flush=True)
 
-        bh0 = _pick_bh(h, w)
+        bh0 = _pick_bh(h, w, c, 2)
         co0 = _pick_co(c, c, 2)
         cands = {(bh0, co0)}
         for bh in {bh0, max(1, bh0 // 2), min(h, bh0 * 2)}:
