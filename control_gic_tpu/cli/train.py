@@ -6,6 +6,15 @@ center-crop [-1,1] images, validation every 2000 steps, checkpoint every
 2000 steps. Data parallelism = batch sharded over the device mesh (the
 TPU-native replacement for Lightning DDP/NCCL).
 
+Failure detection / elastic recovery (SURVEY §5 — the reference has none;
+a crash loses up to 2000 steps and needs a manual restart, main.py:130-134):
+  - SIGTERM/SIGINT (preemption) finishes the in-flight step, writes a
+    synchronous checkpoint, and exits cleanly.
+  - Non-finite losses are detected at log steps and raised as faults.
+  - Faults restore from the latest checkpoint and continue, up to
+    --max-restarts times (in-process elastic recovery; a fresh process with
+    --resume recovers identically).
+
 Usage:
   python -m control_gic_tpu.cli.train --train-dir <imgs> [--val-dir <imgs>]
       [--steps 165000] [--batch-size 8] [--ckpt-dir ./all_saves]
@@ -14,6 +23,9 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import math
+import signal
+import threading
 import time
 
 import jax
@@ -21,7 +33,8 @@ import numpy as np
 
 from ..data import ImageFolderDataset, prefetch_batches
 from ..models.cgic import CGICConfig
-from ..parallel.mesh import data_sharding, make_mesh, shard_batch
+from ..parallel.mesh import (data_sharding, make_mesh, replicated_sharding,
+                             shard_batch)
 from ..train import TrainConfig, Trainer, create_train_state
 from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from ..utils.logging import ImageLogger, MetricLogger, log_schedule_hit
@@ -56,7 +69,34 @@ def get_parser():
                         "SURVEY §5 — the reference has no sanitizers)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of steps 10..20 here")
+    p.add_argument("--max-restarts", type=int, default=3,
+                   help="auto-restore from the latest checkpoint and "
+                        "continue after a training fault, this many times")
     return p
+
+
+class TrainFault(RuntimeError):
+    """A recoverable training failure (non-finite loss, device error)."""
+
+
+def _install_preemption_handler() -> threading.Event:
+    """SIGTERM/SIGINT set the flag; the loop checkpoints and exits cleanly.
+    A second signal falls through to the default handler (hard kill)."""
+    flag = threading.Event()
+
+    def _handler(signum, frame):
+        if flag.is_set():
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
+        print(f"signal {signum}: finishing step, checkpointing, exiting")
+        flag.set()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _handler)
+        except ValueError:  # non-main thread (tests)
+            pass
+    return flag
 
 
 def main(argv=None):
@@ -65,6 +105,22 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    # Supervised restart loop: any fault below restores from the latest
+    # checkpoint (or from scratch if none exists yet) and continues.
+    attempt = 0
+    while True:
+        try:
+            return _run(args, resume=args.resume or attempt > 0)
+        except (TrainFault, jax.errors.JaxRuntimeError) as e:
+            attempt += 1
+            if attempt > args.max_restarts:
+                raise
+            print(f"training fault ({type(e).__name__}: {e}); "
+                  f"restarting from latest checkpoint "
+                  f"[{attempt}/{args.max_restarts}]")
+
+
+def _run(args, resume: bool):
     mesh = make_mesh()
     n_dev = mesh.devices.size
     assert args.batch_size % n_dev == 0, (args.batch_size, n_dev)
@@ -90,10 +146,14 @@ def main(argv=None):
     state = create_train_state(jax.random.PRNGKey(args.seed), model_cfg,
                                train_cfg, image_size=args.image_size)
     start = 0
-    if args.resume and latest_step(args.ckpt_dir) is not None:
+    if resume and latest_step(args.ckpt_dir) is not None:
         state = restore_checkpoint(args.ckpt_dir, template=state)
+        # orbax restores committed to one device; the train step expects
+        # replicated state next to the mesh-sharded batch
+        state = jax.device_put(state, replicated_sharding(mesh))
         start = int(state.step)
         print(f"resumed from step {start}")
+    preempted = _install_preemption_handler()
 
     train_ds = ImageFolderDataset(args.train_dir, args.image_size)
     print(f"train images: {len(train_ds)}")
@@ -123,12 +183,20 @@ def main(argv=None):
 
         if step % args.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
+            if not all(math.isfinite(v) for v in metrics.values()):
+                bad = [k for k, v in metrics.items()
+                       if not math.isfinite(v)]
+                raise TrainFault(f"non-finite metrics at step {step}: {bad}")
             ips = seen / (time.time() - t0 + 1e-9)
             metric_log.log(step, {**metrics, "images_per_sec": ips})
             print(f"step {step}: "
                   + " ".join(f"{k.split('/')[-1]}={v:.4f}"
                              for k, v in sorted(metrics.items()))
                   + f" ({ips:.2f} img/s)")
+        if preempted.is_set():
+            save_checkpoint(args.ckpt_dir, int(state.step), state, wait=True)
+            print(f"preemption checkpoint @ {int(state.step)} — exiting")
+            return
         if log_schedule_hit(step):
             rec, gi = trainer.recon_step(state, x)
             image_log.log(step, np.asarray(batch), np.asarray(rec),

@@ -285,11 +285,11 @@ class CGICCodec:
             m_m = np.asarray(self.bitmap.decode(get("mask_medium")),
                              np.int64).reshape(hl // 2, wl // 2)
             m_f = 1 - _up2(m_m) - _up4(m_c)
-            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")),
+            g_c = scatter(m_c, self.huffman.decode_array(get("indices_coarse")),
                         "indices_coarse")
-            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")),
+            g_m = scatter(m_m, self.huffman.decode_array(get("indices_medium")),
                         "indices_medium")
-            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")),
+            g_f = scatter(m_f, self.huffman.decode_array(get("indices_fine")),
                         "indices_fine")
             ind = g_f + _up2(g_m) + _up4(g_c)
         elif mode == 1:
@@ -297,9 +297,9 @@ class CGICCodec:
                              np.int64).reshape(hl // 2, wl // 2)
             m_f = 1 - _up2(m_m)
             m_c = zeros_c
-            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")),
+            g_m = scatter(m_m, self.huffman.decode_array(get("indices_medium")),
                         "indices_medium")
-            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")),
+            g_f = scatter(m_f, self.huffman.decode_array(get("indices_fine")),
                         "indices_fine")
             ind = g_f + _up2(g_m)
         elif mode == 2:
@@ -307,9 +307,9 @@ class CGICCodec:
                              np.int64).reshape(hl // 4, wl // 4)
             m_f = 1 - _up4(m_c)
             m_m = zeros_m
-            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")),
+            g_c = scatter(m_c, self.huffman.decode_array(get("indices_coarse")),
                         "indices_coarse")
-            g_f = scatter(m_f, self.huffman.decode(get("indices_fine")),
+            g_f = scatter(m_f, self.huffman.decode_array(get("indices_fine")),
                         "indices_fine")
             ind = g_f + _up4(g_c)
         elif mode == 3:
@@ -317,23 +317,23 @@ class CGICCodec:
                              np.int64).reshape(hl // 4, wl // 4)
             m_m = 1 - _up2(m_c)
             m_f = zeros_f
-            g_c = scatter(m_c, self.huffman.decode(get("indices_coarse")),
+            g_c = scatter(m_c, self.huffman.decode_array(get("indices_coarse")),
                         "indices_coarse")
-            g_m = scatter(m_m, self.huffman.decode(get("indices_medium")),
+            g_m = scatter(m_m, self.huffman.decode_array(get("indices_medium")),
                         "indices_medium")
             ind = _up4(g_c) + _up2(g_m)
         elif mode == 4:
-            data = self.huffman.decode(get("indices_coarse"))
+            data = self.huffman.decode_array(get("indices_coarse"))
             ind = _up4(np.asarray(data, np.int64).reshape(hl // 4, wl // 4))
             m_c = np.ones_like(zeros_c)
             m_m, m_f = zeros_m, zeros_f
         elif mode == 5:
-            data = self.huffman.decode(get("indices_medium"))
+            data = self.huffman.decode_array(get("indices_medium"))
             ind = _up2(np.asarray(data, np.int64).reshape(hl // 2, wl // 2))
             m_m = np.ones_like(zeros_m)
             m_c, m_f = zeros_c, zeros_f
         elif mode == 6:
-            data = self.huffman.decode(get("indices_fine"))
+            data = self.huffman.decode_array(get("indices_fine"))
             ind = np.asarray(data, np.int64).reshape(hl, wl)
             m_f = np.ones_like(zeros_f)
             m_c, m_m = zeros_c, zeros_m

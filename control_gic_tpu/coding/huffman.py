@@ -100,6 +100,7 @@ class HuffmanCodec:
         self.codes = build_huffman_codes(frequencies)
         self.n_sym = (max(self.codes) + 1) if self.codes else 0
         self._native = get_native()
+        self._lut = None  # K-bit decode LUT, built lazily on first decode
         self._prepare_tables()
 
     @classmethod
@@ -152,12 +153,22 @@ class HuffmanCodec:
 
     def decode(self, data: bytes) -> Optional[List[int]]:
         """None for an empty stream (reference decompress_string contract)."""
+        out = self.decode_array(data)
+        return None if out is None else out.tolist()
+
+    def decode_array(self, data: bytes) -> Optional[np.ndarray]:
+        """decode() without the list materialization — the receiver hot
+        path (codec.py scatters the symbols straight into numpy grids, so
+        building 10^5 Python ints per DIV2K tile sweep would dominate the
+        C++ decode itself)."""
         if len(data) == 0:
             return None
         if self._native is not None:
-            out = self._native.huff_decode(data, self.trie)
+            if self._lut is None:
+                self._lut = self._native.huff_build_lut(self.trie)
+            out = self._native.huff_decode(data, self.trie, self._lut)
             if out is not None:
-                return out.tolist()
+                return out
         bits = _unframe_bits(data)
         out: List[int] = []
         node = 0
@@ -169,7 +180,7 @@ class HuffmanCodec:
                 node = 0
             else:
                 node = nxt
-        return out
+        return np.asarray(out, np.int32)
 
     # --------------------------------------------------------------- misc
 

@@ -35,7 +35,11 @@ class NativeCodec:
             _i32p, _i64, _u16p, _u8p, ctypes.c_int32, _u8p, _i64]
         lib.cgic_huff_decode.restype = _i64
         lib.cgic_huff_decode.argtypes = [
-            _u8p, _i64, _i32p, ctypes.c_int32, _i32p, _i64]
+            _u8p, _i64, _i32p, ctypes.c_int32, ctypes.c_void_p, _i32p, _i64]
+        lib.cgic_huff_lut_size.restype = _i64
+        lib.cgic_huff_lut_size.argtypes = []
+        lib.cgic_huff_build_lut.restype = None
+        lib.cgic_huff_build_lut.argtypes = [_i32p, ctypes.c_int32, _i32p]
         lib.cgic_bitmap_encode.restype = _i64
         lib.cgic_bitmap_encode.argtypes = [_u8p, _i64, _u8p, _i64]
         lib.cgic_bitmap_decode.restype = _i64
@@ -56,16 +60,27 @@ class NativeCodec:
             return None
         return out[:written].tobytes()
 
-    def huff_decode(self, data: bytes, trie: np.ndarray
+    def huff_build_lut(self, trie: np.ndarray) -> np.ndarray:
+        """Prebuild the K-bit decode LUT for a fixed code table (one-time;
+        passed back into huff_decode so per-call builds are skipped)."""
+        lut = np.empty(int(self._lib.cgic_huff_lut_size()), np.int32)
+        self._lib.cgic_huff_build_lut(
+            np.ascontiguousarray(trie, np.int32),
+            np.int32(trie.size // 2), lut)
+        return lut
+
+    def huff_decode(self, data: bytes, trie: np.ndarray,
+                    lut: Optional[np.ndarray] = None
                     ) -> Optional[np.ndarray]:
         buf = np.frombuffer(data, np.uint8)
         # payload bits is an upper bound on symbol count
         cap = max(1, len(data) * 8)
-        out = np.zeros(cap, np.int32)
+        out = np.empty(cap, np.int32)   # C++ writes exactly n entries
         n = self._lib.cgic_huff_decode(
             np.ascontiguousarray(buf), len(data),
             np.ascontiguousarray(trie, np.int32),
-            np.int32(trie.size // 2), out, cap)
+            np.int32(trie.size // 2),
+            None if lut is None else lut.ctypes.data, out, cap)
         if n < 0:
             return None
         return out[:n]

@@ -55,6 +55,42 @@ def test_native_matches_python(rng):
     np.testing.assert_array_equal(dec, syms)
 
 
+def test_native_fast_paths_match_python(rng):
+    """The C++ codec's round-2 fast paths — 64-bit-accumulator encode, K-bit
+    LUT decode on streams past the size threshold, and the bit-by-bit
+    fallbacks for >57-bit codes / >LUT-bit codes — must stay byte- and
+    symbol-identical to the pure-Python oracle."""
+    native = get_native()
+    assert native is not None, "C++ codec failed to build"
+    # Fibonacci-skewed counts force code lengths far beyond both the 12-bit
+    # decode LUT and the 57-bit fast-encode limit.
+    fib = [1, 1]
+    for _ in range(198):
+        fib.append(min(fib[-1] + fib[-2], 10**17))
+    tables = {
+        "uniform": {i: 5 for i in range(1024)},
+        "zipf": {i: int(1e7 / (i + 1) ** 1.3) + 1 for i in range(1024)},
+        "fib_longcodes": {i: int(f) for i, f in enumerate(fib)},
+    }
+    for name, freqs in tables.items():
+        codec = HuffmanCodec(freqs)
+        n_sym = len(freqs)
+        # sizes straddle the LUT engage threshold (2^14 payload bits)
+        for size in [1, 500, 3000, 60_000]:
+            syms = rng.integers(0, n_sym, size=size).astype(np.int32)
+            if name == "fib_longcodes":
+                # make long codes actually appear: rare symbols have them
+                syms[rng.random(size) < 0.2] = 0
+            codec._native = native
+            enc_n = codec.encode(syms)
+            dec_n = codec.decode(enc_n)
+            codec._native = None
+            enc_p = codec.encode(syms)
+            dec_p = codec.decode(enc_p)
+            assert enc_n == enc_p, (name, size)
+            assert dec_n == dec_p == syms.tolist(), (name, size)
+
+
 def test_bitmap_roundtrip(rng):
     codec = BitmapCodec()
     for size in [1, 8, 256, 1024, 1023]:

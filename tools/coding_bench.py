@@ -39,12 +39,13 @@ def bench(codec: HuffmanCodec, syms: np.ndarray, reps: int, native: bool):
     for _ in range(reps):
         enc = codec.encode(syms)
     t_enc = (time.perf_counter() - t0) / reps
-    dec = codec.decode(enc)
+    dec = codec.decode_array(enc)   # the receiver hot path (codec.py)
     t0 = time.perf_counter()
     for _ in range(reps):
-        dec = codec.decode(enc)
+        dec = codec.decode_array(enc)
     t_dec = (time.perf_counter() - t0) / reps
-    assert dec == syms.tolist()
+    assert np.array_equal(dec, syms)
+    assert codec.decode(enc) == syms.tolist()  # list contract still holds
     mb = len(enc) / 1e6
     return (len(enc), mb / t_enc, mb / t_dec,
             syms.size / t_enc / 1e6, syms.size / t_dec / 1e6,
