@@ -14,7 +14,11 @@ identical model/math, plus each path's bpp (the spatial path's single
 global routing budget vs per-tile budgets). Results go into the
 DESIGN.md "when to use which" table (VERDICT round-1 item 7).
 
-python tools/spatial_perf.py   (env: SP_CH=32 SP_HW=1024x1536 SP_REPS=2)
+python tools/spatial_perf.py
+  env: SP_CH=32 SP_HW=512x768 SP_TILE=256 SP_REPS=1
+Defaults are sized for this 2-CPU box (a 768-px-tile 2K sweep at ch=32
+measured >1000 s/rep here — virtual devices share 2 cores); on real
+hardware raise SP_HW/SP_TILE to the production geometry (tile 768).
 """
 import os
 import sys
@@ -42,8 +46,9 @@ def main():
     from control_gic_tpu.parallel.tiling import compress_tiled
 
     ch = int(os.environ.get("SP_CH", "32"))
-    h, w = (int(v) for v in os.environ.get("SP_HW", "1024x1536").split("x"))
-    reps = int(os.environ.get("SP_REPS", "2"))
+    h, w = (int(v) for v in os.environ.get("SP_HW", "512x768").split("x"))
+    tile = int(os.environ.get("SP_TILE", "256"))
+    reps = int(os.environ.get("SP_REPS", "1"))
 
     cfg = CGICConfig(ch=ch, ch_mult=(1, 2, 2, 4, 4), num_res_blocks=2,
                      attn_resolutions=(32,), resolution=256)
@@ -66,9 +71,10 @@ def main():
         print(f"{label:>28}: {dt*1e3:9.1f} ms   bpp={bpp:.4f}")
         return rec, bpp, dt
 
-    print(f"model ch={ch}, image {h}x{w}, mesh 8 virtual CPU devices")
+    print(f"model ch={ch}, image {h}x{w}, tile {tile}, "
+          f"mesh 8 virtual CPU devices")
     rec_t, bpp_t, dt_t = timed(
-        lambda: compress_tiled(codec, img, 0.1, 0.4, mesh=mesh,
+        lambda: compress_tiled(codec, img, 0.1, 0.4, tile=tile, mesh=mesh,
                                device_pack=False), "tiled (batched, sharded)")
     rec_s, bpp_s, dt_s = timed(
         lambda: compress_spatial(codec, img, 0.1, 0.4, mesh),
