@@ -9,11 +9,15 @@ router -> encoder -> VQ -> mask-aware decoder) at 256x256, bf16, batch 8:
 "extra" carries the driver's other configs (BASELINE.json):
   codec256_full_img_s   full codec incl. entropy stage: device-packed
                         Huffman/bitmap streams -> host bytes -> receiver
-                        rebuild -> device decode, 256x256 batch 8
+                        rebuild -> device decode, 256x256 batch 8,
+                        software-pipelined (host entropy overlaps device
+                        compute); codec256_serial_img_s is the same loop
+                        unpipelined
   kodak_img_s           Kodak-shape 768x512 whole-image neural round-trip
-  tiled2k_img_s         2K-class image (1536x2304, uniform 768-px tile grid
+  tiled2k_img_s         2K-class images (1536x2304, uniform 768-px tile grid
                         -> 6 tiles, one batched program) through the full
-                        tiled codec incl. entropy (parallel/tiling.py);
+                        tiled codec incl. entropy, software-pipelined across
+                        images (parallel/tiling.py compress_tiled_many);
                         counted in IMAGES (not tiles) per second
   mfu                   measured model FLOPs/s over the chip's peak, from
                         XLA cost analysis (omitted if unavailable)
@@ -68,7 +72,8 @@ def main():
 
     from control_gic_tpu.codec import CGICCodec
     from control_gic_tpu.models import CGIC, CGICConfig
-    from control_gic_tpu.parallel.tiling import compress_tiled
+    from control_gic_tpu.parallel.tiling import (compress_tiled,
+                                                 compress_tiled_many)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     batch = int(os.environ.get("BENCH_BATCH", "8" if on_tpu else "1"))
@@ -147,16 +152,30 @@ def main():
             rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
         codec = CGICCodec(model, variables, counts)
         n = max(2, iters // 2)
-        imgs = [np.asarray(rand_imgs((batch, 256, 256, 3))) for _ in range(n)]
+        # fresh inputs per measurement (the axon runtime dedupes repeated
+        # identical executions, see the methodology note above)
+        imgs_s = [np.asarray(rand_imgs((batch, 256, 256, 3)))
+                  for _ in range(n)]
+        imgs_p = [np.asarray(rand_imgs((batch, 256, 256, 3)))
+                  for _ in range(n)]
         # warmup compiles both programs
-        encs = codec.encode_batch(imgs[0], 0.1, 0.4, device_pack=True)
+        encs = codec.encode_batch(imgs_s[0], 0.1, 0.4, device_pack=True)
         codec.decode_batch(encs)
+        # serial: host entropy stage sits in the device's critical path
         t0 = _now()
-        for im in imgs:
+        for im in imgs_s:
             encs = codec.encode_batch(im, 0.1, 0.4, device_pack=True)
             rec = codec.decode_batch(encs)
+        serial = batch * n / (_now() - t0)
         rec.sum()  # numpy already — host sync happened per decode
-        return batch * n / (_now() - t0), codec
+        # pipelined: batch i's entropy stage overlaps batch i+1's encode
+        # (codec.roundtrip_pipelined; same compiled programs, same bytes)
+        t0 = _now()
+        recs, _ = codec.roundtrip_pipelined(imgs_p, 0.1, 0.4,
+                                            device_pack=True)
+        pipelined = batch * n / (_now() - t0)
+        recs[-1].sum()
+        return pipelined, serial, codec
 
     codec = None
     for name in configs:
@@ -165,8 +184,9 @@ def main():
             continue
         try:
             if name == "codec256":
-                val, codec = run_codec256()
+                val, serial, codec = run_codec256()
                 extra["codec256_full_img_s"] = round(val, 3)
+                extra["codec256_serial_img_s"] = round(serial, 3)
             elif name == "kodak":
                 kb = max(2, batch // 2)
                 kfn = roundtrip_scan_fn((512, 768))
@@ -186,13 +206,13 @@ def main():
                 img = np.asarray(rand_imgs((th, tw, 3)))
                 compress_tiled(codec, img, 0.1, 0.4, device_pack=True)
                 n2k = 3
+                imgs2k = [np.asarray(rand_imgs((th, tw, 3)))
+                          for _ in range(n2k)]
                 t0 = _now()
-                for i in range(n2k):
-                    img = np.asarray(rand_imgs((th, tw, 3)))
-                    _, bpp, _ = compress_tiled(codec, img, 0.1, 0.4,
-                                               device_pack=True)
+                results = compress_tiled_many(codec, imgs2k, 0.1, 0.4,
+                                              device_pack=True)
                 extra["tiled2k_img_s"] = round(n2k / (_now() - t0), 3)
-                extra["tiled2k_bpp"] = round(bpp, 4)
+                extra["tiled2k_bpp"] = round(results[-1][1], 4)
         except Exception as e:  # record, never lose the headline line
             extra[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
 

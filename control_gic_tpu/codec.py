@@ -66,6 +66,18 @@ class CorruptStreamError(ValueError):
 
 
 @dataclasses.dataclass
+class _PendingEncode:
+    """Handle for an asynchronously dispatched encode (device arrays may
+    still be computing). Exactly one of `packed`/`enc` is set."""
+    mode: int
+    latent_hw: Tuple[int, int]
+    image_hw: Tuple[int, int]
+    n: int
+    packed: Optional[Dict] = None    # device_pack: name -> (words, bits)
+    enc: Optional[object] = None     # raw EncodeOutput (indices + router)
+
+
+@dataclasses.dataclass
 class EncodedImage:
     """The bitstream bundle for one image."""
     mode: int
@@ -367,6 +379,106 @@ class CGICCodec:
              jnp.asarray(np.stack(m_ms), jnp.int32),
              jnp.asarray(np.stack(m_fs), jnp.int32)))
         return np.asarray(rec)
+
+    # ----------------------------------------------------- pipelined batches
+
+    def encode_batch_async(self, images: np.ndarray, coarse_ratio: float,
+                           medium_ratio: float, *,
+                           device_pack: bool = False) -> "_PendingEncode":
+        """Dispatch the device half of encode_batch and return immediately.
+
+        JAX execution is asynchronous: the returned handle owns device
+        arrays that are still being computed. encode_finish() blocks on
+        them and runs the host framing. Between the two calls the host is
+        free to run another batch's entropy stage — see
+        roundtrip_pipelined()."""
+        assert images.ndim == 4, images.shape
+        n, h, w, _ = images.shape
+        assert h % 16 == 0 and w % 16 == 0
+        x = jnp.asarray(images, jnp.float32)
+        mode = mode_from_ratios(coarse_ratio, medium_ratio)
+        if device_pack and self._device_tables is not None:
+            out = self._encode_pack_fn(float(coarse_ratio),
+                                       float(medium_ratio),
+                                       per_sample=True)(self.variables, x)
+            return _PendingEncode(mode, (h // 4, w // 4), (h, w), n,
+                                  packed=out)
+        enc = self._encode_fn(float(coarse_ratio), float(medium_ratio),
+                              per_sample=True)(self.variables, x)
+        return _PendingEncode(mode, (h // 4, w // 4), (h, w), n, enc=enc)
+
+    def encode_finish(self, pending: "_PendingEncode") -> List[EncodedImage]:
+        """Fetch a pending encode's device arrays and frame the bitstreams
+        (the host entropy stage). Blocks until the device work is done."""
+        if pending.packed is not None:
+            packed = {name: (np.asarray(p), np.asarray(bits))
+                      for name, (p, bits) in pending.packed.items()}
+            return [EncodedImage(mode=pending.mode,
+                                 latent_hw=pending.latent_hw,
+                                 image_hw=pending.image_hw,
+                                 streams=streams_to_bytes(packed, i))
+                    for i in range(pending.n)]
+        enc = pending.enc
+        ind = np.asarray(enc.indices)
+        m_c = np.asarray(enc.router.mask_coarse)
+        m_m = np.asarray(enc.router.mask_medium)
+        m_f = np.asarray(enc.router.mask_fine)
+        return [self.streams_from_arrays(ind[i], m_c[i], m_m[i], m_f[i],
+                                         pending.mode, pending.image_hw)
+                for i in range(pending.n)]
+
+    def decode_batch_async(self, encoded: List[EncodedImage]) -> jnp.ndarray:
+        """Host receiver rebuild + async device decode dispatch. Returns the
+        (possibly still computing) device array; np.asarray() it to sync."""
+        inds, m_cs, m_ms, m_fs = [], [], [], []
+        for e in encoded:
+            ind, (m_c, m_m, m_f) = self._rebuild(e)
+            inds.append(ind)
+            m_cs.append(m_c)
+            m_ms.append(m_m)
+            m_fs.append(m_f)
+        return self._decode_fn(
+            self.variables,
+            jnp.asarray(np.stack(inds), jnp.int32),
+            (jnp.asarray(np.stack(m_cs), jnp.int32),
+             jnp.asarray(np.stack(m_ms), jnp.int32),
+             jnp.asarray(np.stack(m_fs), jnp.int32)))
+
+    def roundtrip_pipelined(self, batches, coarse_ratio: float,
+                            medium_ratio: float, *,
+                            device_pack: bool = False
+                            ) -> Tuple[List[np.ndarray],
+                                       List[List[EncodedImage]]]:
+        """Software-pipelined full codec over a sequence of same-shape image
+        batches: while the host runs batch i's entropy stage (frame bytes ->
+        receiver rebuild), the device is already executing batch i+1's
+        encode, and batch i-1's decode drains in the background. Results are
+        identical to calling encode_batch/decode_batch per batch (pinned by
+        test_codec); only the schedule differs.
+
+        Returns (reconstructions per batch, bundles per batch)."""
+        batches = list(batches)
+        recs: List[np.ndarray] = []
+        encs_all: List[List[EncodedImage]] = []
+        pend_d = None
+        pend_e = (self.encode_batch_async(batches[0], coarse_ratio,
+                                          medium_ratio,
+                                          device_pack=device_pack)
+                  if batches else None)
+        for i in range(len(batches)):
+            nxt = (self.encode_batch_async(batches[i + 1], coarse_ratio,
+                                           medium_ratio,
+                                           device_pack=device_pack)
+                   if i + 1 < len(batches) else None)
+            encs = self.encode_finish(pend_e)
+            encs_all.append(encs)
+            if pend_d is not None:
+                recs.append(np.asarray(pend_d))
+            pend_d = self.decode_batch_async(encs)
+            pend_e = nxt
+        if pend_d is not None:
+            recs.append(np.asarray(pend_d))
+        return recs, encs_all
 
     # ------------------------------------------------------------ round-trip
 

@@ -29,7 +29,8 @@ from ..ops.fused_norm import spatial_norm
 from ..ops.norm_conv import (admissible as _norm_conv_admissible,
                              group_norm_conv, norm_conv_enabled,
                              spatial_norm_conv)
-from ..ops.resample import nearest_resize, upsample_nearest
+from ..ops.resample import (nearest_resize, subpixel_enabled,
+                            upsample2_conv3x3, upsample_nearest)
 
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:
@@ -236,10 +237,18 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """x2 nearest upsample followed by a 3x3 conv."""
+    """x2 nearest upsample followed by a 3x3 conv.
+
+    Default path is the subpixel reformulation (ops/resample.py::
+    upsample2_conv3x3): same math, 4/9 the conv FLOPs, no upsampled
+    intermediate in HBM. Same param tree either way (conv/{kernel,bias}).
+    """
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if subpixel_enabled():
+            k, b = _Conv3x3Params(x.shape[-1], x.shape[-1], name="conv")()
+            return upsample2_conv3x3(x.astype(self.dtype), k, b)
         x = upsample_nearest(x, 2)
         return nn.Conv(x.shape[-1], (3, 3), dtype=self.dtype, name="conv")(x)

@@ -1,4 +1,5 @@
-from .resample import nearest_resize, upsample_nearest, avg_pool
+from .resample import (nearest_resize, upsample_nearest, avg_pool,
+                       upsample2_conv3x3, subpixel_enabled)
 from .entropy import patch_entropy
 from .router import (triple_grain_router, RouterOutput,
                      grain_indices_from_masks, mode_from_ratios)

@@ -90,15 +90,17 @@ def attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = _BLOCK_Q, block_k: int = _BLOCK_K,
                     interpret: bool = False) -> jnp.ndarray:
     """Pallas flash attention (forward only — not differentiable; the
-    dispatch wraps it in a custom VJP). q,k,v: [B, T, C]; T divisible by
-    blocks."""
+    dispatch wraps it in a custom VJP). q: [B, Tq, C], k/v: [B, Tk, C];
+    Tq/Tk divisible by their blocks. Tq != Tk supports the H-sharded
+    decoder (local queries, all-gathered keys/values)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, t, c = q.shape
-    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
     scale = float(c) ** -0.5
-    grid = (b, t // block_q, t // block_k)
+    grid = (b, tq // block_q, tk // block_k)
 
     kernel = functools.partial(_flash_kernel, scale=scale)
     return pl.pallas_call(
@@ -158,15 +160,16 @@ def _flash_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
 def attention_flash_with_lse(q, k, v, block_q: int = _BLOCK_Q,
                              block_k: int = _BLOCK_K,
                              interpret: bool = False):
-    """Flash forward that also returns the [B, T, 1] f32 logsumexp residual
+    """Flash forward that also returns the [B, Tq, 1] f32 logsumexp residual
     needed by the Pallas backward."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, t, c = q.shape
-    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
     scale = float(c) ** -0.5
-    grid = (b, t // block_q, t // block_k)
+    grid = (b, tq // block_q, tk // block_k)
 
     kernel = functools.partial(_flash_lse_kernel, scale=scale)
     return pl.pallas_call(
@@ -183,7 +186,7 @@ def attention_flash_with_lse(q, k, v, block_q: int = _BLOCK_Q,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, tq, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -280,8 +283,9 @@ def _flash_backward(q, k, v, o, lse, do, block_q: int, block_k: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, t, c = q.shape
-    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
     scale = float(c) ** -0.5
 
     q_spec = pl.BlockSpec((1, block_q, c), lambda ib, io, ii: (ib, ii, 0))
@@ -289,7 +293,7 @@ def _flash_backward(q, k, v, o, lse, do, block_q: int, block_k: int,
     k_spec = pl.BlockSpec((1, block_k, c), lambda ib, io, ii: (ib, io, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkdv_kernel, scale=scale),
-        grid=(b, t // block_k, t // block_q),
+        grid=(b, tk // block_k, tq // block_q),
         in_specs=[q_spec, q_spec, q_spec, lse_spec, k_spec, k_spec],
         out_specs=[k_spec, k_spec],
         out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -304,7 +308,7 @@ def _flash_backward(q, k, v, o, lse, do, block_q: int, block_k: int,
     k_spec2 = pl.BlockSpec((1, block_k, c), lambda ib, io, ii: (ib, ii, 0))
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale),
-        grid=(b, t // block_q, t // block_k),
+        grid=(b, tq // block_q, tk // block_k),
         in_specs=[q_spec2, q_spec2, q_spec2, lse_spec2, k_spec2, k_spec2],
         out_specs=q_spec2,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -330,14 +334,14 @@ def _use_xla_bwd() -> bool:
     return os.environ.get("CONTROL_GIC_FLASH_BWD", "").lower() == "xla"
 
 
-def _cap_blocks(q, block_q, block_k, cap_f32, cap_bf16):
+def _cap_blocks(q, k, block_q, block_k, cap_f32, cap_bf16):
     """The tuned forward blocks (1024x512) are VMEM-sized for bf16; f32
     doubles every buffer, so cap block sizes by dtype (measured: the f32
-    lse-forward at 1024x512 C=512 needs 18.9M scoped VMEM > 16M limit)."""
+    lse-forward at 1024x512 C=512 needs 18.9M scoped VMEM > 16M limit).
+    Query and key blocks divide their own (possibly different) lengths."""
     cap = cap_bf16 if q.dtype == jnp.bfloat16 else cap_f32
-    t = q.shape[1]
-    bq = _pick_block(t, min(block_q, cap)) or block_q
-    bk = _pick_block(t, min(block_k, cap)) or block_k
+    bq = _pick_block(q.shape[1], min(block_q, cap)) or block_q
+    bk = _pick_block(k.shape[1], min(block_k, cap)) or block_k
     return bq, bk
 
 
@@ -345,7 +349,7 @@ def _flash_diff_fwd(q, k, v, block_q, block_k, interpret):
     if _use_xla_bwd():
         return attention_flash(q, k, v, block_q, block_k,
                                interpret), (q, k, v, None, None)
-    bq, bk = _cap_blocks(q, block_q, block_k, 512, 1024)
+    bq, bk = _cap_blocks(q, k, block_q, block_k, 512, 1024)
     o, lse = attention_flash_with_lse(q, k, v, bq, bk, interpret)
     return o, (q, k, v, o, lse)
 
@@ -355,7 +359,7 @@ def _flash_diff_bwd(block_q, block_k, interpret, res, g):
     if o is None:
         _, vjp = jax.vjp(attention_xla, q, k, v)
         return vjp(g)
-    bq, bk = _cap_blocks(q, min(block_q, _BWD_BLOCK_Q),
+    bq, bk = _cap_blocks(q, k, min(block_q, _BWD_BLOCK_Q),
                          min(block_k, _BWD_BLOCK_K), 256, _BWD_BLOCK_Q)
     return _flash_backward(q, k, v, o, lse, g, bq, bk, interpret)
 
@@ -375,13 +379,17 @@ def _pick_block(t: int, preferred: int) -> int:
 
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               use_flash: bool | None = None) -> jnp.ndarray:
-    """Dispatch: flash for long sequences on TPU, einsum otherwise."""
-    t = q.shape[1]
-    bq = _pick_block(t, _BLOCK_Q)
-    bk = _pick_block(t, _BLOCK_K)
+    """Dispatch: flash for long sequences on TPU, einsum otherwise.
+
+    Tq may differ from Tk (H-sharded decoder: local queries, gathered
+    keys/values); the flash-engage threshold is the KV length — that is
+    the axis whose materialized [Tq, Tk] scores the kernel avoids."""
+    tq, tk = q.shape[1], k.shape[1]
+    bq = _pick_block(tq, _BLOCK_Q)
+    bk = _pick_block(tk, _BLOCK_K)
     if use_flash is None:
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        use_flash = on_tpu and t >= _FLASH_MIN_TOKENS and bq > 0 and bk > 0
+        use_flash = on_tpu and tk >= _FLASH_MIN_TOKENS and bq > 0 and bk > 0
     if use_flash:
         return _flash_diff(q, k, v, bq or _BLOCK_Q, bk or _BLOCK_K, False)
     return attention_xla(q, k, v)

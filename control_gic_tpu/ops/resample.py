@@ -12,7 +12,10 @@ dims 1 and 2, i.e. NHWC or NHW).
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+from jax import lax
 
 
 def nearest_resize(x: jnp.ndarray, out_h: int, out_w: int,
@@ -37,6 +40,64 @@ def upsample_nearest(x: jnp.ndarray, scale: int,
     x = jnp.repeat(x, scale, axis=axis_h)
     x = jnp.repeat(x, scale, axis=axis_w)
     return x
+
+
+def subpixel_enabled() -> bool:
+    """Gate for the subpixel upsample+conv reformulation (default ON — it is
+    the same math on plain XLA ops, just 4/9 the FLOPs; CONTROL_GIC_SUBPIXEL=0
+    restores the direct nearest-up2 -> 3x3 conv composition)."""
+    return os.environ.get("CONTROL_GIC_SUBPIXEL", "1") != "0"
+
+
+# Row/col aliasing of a SAME 3x3 conv on a x2-nearest-upsampled grid: output
+# row 2i+a reads upsampled rows 2i+a-1..2i+a+1, which floor-divide onto low-
+# res rows {i-1, i} (a=0, weights W0 | W1+W2) or {i, i+1} (a=1, W0+W1 | W2).
+_PHASE = (
+    ((1.0, 0.0, 0.0), (0.0, 1.0, 1.0)),   # a=0: taps (i-1, i)
+    ((1.0, 1.0, 0.0), (0.0, 0.0, 1.0)),   # a=1: taps (i, i+1)
+)
+
+
+def upsample2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: jnp.ndarray) -> jnp.ndarray:
+    """conv3x3(SAME)(nearest_up2(x)) computed at LOW resolution.
+
+    Exact reformulation of the reference Upsample (vqvae_blocks.py:38-53):
+    because nearest-up2 duplicates pixels, each output phase (a, b) of the
+    3x3 conv on the upsampled grid touches at most a 2x2 window of the
+    low-res input, with weights formed by summing the kernel taps that alias
+    onto the same low-res pixel (see _PHASE). All 4 phase kernels run as ONE
+    2x2 conv with 4*Cout output channels, then a pixel shuffle interleaves
+    the phases. 4/9 the MXU FLOPs of the direct form, and the 4x-size
+    upsampled intermediate never exists in HBM.
+
+    Numerics: phase kernels are combined in f32 then cast to x.dtype, so
+    results match the direct composition up to one extra rounding of the
+    summed taps (f32-exact reassociation; pinned by test_ops).
+
+    x: [N,H,W,C]; kernel: [3,3,C,Co] (flax nn.Conv tree); bias: [Co].
+    -> [N,2H,2W,Co]
+    """
+    n, h, w, c = x.shape
+    co = kernel.shape[-1]
+    k32 = kernel.astype(jnp.float32)
+    a = jnp.asarray(_PHASE, jnp.float32)            # [2 phase, 2 tap, 3]
+    # [tap_u, tap_v, C, phase_a, phase_b, Co] -> 2x2 conv, 4*Co outputs
+    k4 = jnp.einsum("aup,bvq,pqio->uviabo", a, a, k32)
+    k4 = k4.reshape(2, 2, c, 4 * co).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, k4, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [N, H+1, W+1, 4Co]
+    y = y.reshape(n, h + 1, w + 1, 2, 2, co)
+    # phase (a, b) lives at y[:, a:a+H, b:b+W, a, b] (see derivation above)
+    p00 = y[:, 0:h, 0:w, 0, 0]
+    p01 = y[:, 0:h, 1:w + 1, 0, 1]
+    p10 = y[:, 1:h + 1, 0:w, 1, 0]
+    p11 = y[:, 1:h + 1, 1:w + 1, 1, 1]
+    out = jnp.stack([p00, p01, p10, p11], axis=3)    # [N,H,W,4,Co]
+    out = out.reshape(n, h, w, 2, 2, co)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, co)
+    return out + bias.astype(out.dtype)
 
 
 def avg_pool(x: jnp.ndarray, window: int,

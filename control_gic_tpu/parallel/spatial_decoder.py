@@ -112,20 +112,19 @@ def _resnet_block(x, zq, p, axis_name):
 
 
 def _attn_block(x, zq, p, axis_name):
+    from ..ops.attention import attention
+
     b, h, w, c = x.shape
     hn = _spatial_norm(x, zq, p["norm"]["spatial"], axis_name)
     q = _conv(hn, p["q"]).reshape(b, h * w, c)
     k = _conv(hn, p["k"]).reshape(b, h * w, c)
     v = _conv(hn, p["v"]).reshape(b, h * w, c)
-    # gather keys/values from all shards; queries stay local
+    # gather keys/values from all shards; queries stay local. The Tq != Tk
+    # dispatch sends long global KV to the Pallas flash kernel on TPU
+    # (avoids the [T_local, T_global] score matrix); einsum elsewhere.
     k = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)   # [B, T, C]
     v = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
-    scale = jnp.asarray(c, jnp.float32) ** -0.5
-    logits = jnp.einsum("btc,bsc->bts", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    wgt = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bts,bsc->btc", wgt, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = attention(q, k, v).astype(x.dtype)
     out = _conv(out.reshape(b, h, w, c), p["proj_out"])
     return x + out
 

@@ -92,19 +92,18 @@ def _resnet_plain(x, p, axis_name):
 
 
 def _attn_plain(x, p, axis_name):
+    from ..ops.attention import attention
+
     b, h, w, c = x.shape
     hn = _group_norm_plain(x, p["norm"]["group"], axis_name)
     q = _conv(hn, p["q"]).reshape(b, h * w, c)
     k = _conv(hn, p["k"]).reshape(b, h * w, c)
     v = _conv(hn, p["v"]).reshape(b, h * w, c)
+    # local queries vs all-gathered keys/values; the Tq != Tk dispatch
+    # uses the Pallas flash kernel for long global KV on TPU.
     k = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
     v = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
-    scale = jnp.asarray(c, jnp.float32) ** -0.5
-    logits = jnp.einsum("btc,bsc->bts", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    wgt = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bts,bsc->btc", wgt, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = attention(q, k, v).astype(x.dtype)
     return x + _conv(out.reshape(b, h, w, c), p["proj_out"])
 
 

@@ -147,3 +147,91 @@ def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
     recon = recon[pt:h - pb if pb else h, pl:w - pr if pr else w]
     bpp = total_bits / (h0 * w0)
     return recon, bpp, [b for b in bundles if b is not None]
+
+
+def compress_tiled_many(codec: CGICCodec, images, coarse_ratio: float,
+                        medium_ratio: float, tile: int = 768,
+                        mesh=None, device_pack: bool = False
+                        ) -> List[Tuple[np.ndarray, float,
+                                        List[EncodedImage]]]:
+    """Pipelined tiled codec over a sequence of images (the DIV2K/CLIC eval
+    shape of work: many images through the same tile grids).
+
+    Per-image results are identical to compress_tiled(overlap=0) — same
+    tile batches through the same jitted programs — but the schedule is
+    software-pipelined across tile-shape groups AND images: while the host
+    frames/rebuilds group k's bitstreams, the device is already encoding
+    group k+1 (possibly of the next image), and group k-1's decode drains
+    asynchronously. See codec.encode_batch_async/decode_batch_async.
+
+    Returns [(reconstruction, bpp, bundles), ...] in input order.
+    """
+    images = list(images)
+    # ---- plan: per image padding/grid; flat job list over shape groups
+    plans = []        # (padded, (pt,pb,pl,pr), h0, w0, tiles)
+    jobs = []         # (img_i, (th, tw), idxs)
+    for i, image in enumerate(images):
+        h0, w0, _ = image.shape
+        (pl, pr, pt, pb), _ = compute_padding(h0, w0)
+        padded = np.pad(image, ((pt, pb), (pl, pr), (0, 0)))
+        tiles = tile_grid(padded.shape[0], padded.shape[1], tile)
+        groups: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+        for j, (y, x, th, tw) in enumerate(tiles):
+            groups[(th, tw)].append(j)
+        plans.append((padded, (pt, pb, pl, pr), h0, w0, tiles))
+        for key, idxs in groups.items():
+            jobs.append((i, key, idxs))
+
+    def batch_for(job):
+        i, (th, tw), idxs = job
+        padded, _, _, _, tiles = plans[i]
+        batch = np.stack([padded[tiles[j][0]:tiles[j][0] + th,
+                                 tiles[j][1]:tiles[j][1] + tw]
+                          for j in idxs])
+        if mesh is not None:
+            import jax
+            from .mesh import data_sharding
+            if batch.shape[0] % mesh.devices.size == 0:
+                batch = jax.device_put(batch, data_sharding(mesh))
+        return batch
+
+    # ---- pipelined execution over jobs
+    state = [  # per image: recon, weight-free stitch, bundles, bits
+        (np.zeros_like(p[0], dtype=np.float32),
+         [None] * len(p[4]), [0.0]) for p in plans]
+
+    def stitch(job, encs, rec):
+        i, (th, tw), idxs = job
+        recon, bundles, bits = state[i]
+        tiles = plans[i][4]
+        for j, t in enumerate(idxs):
+            y, x, _, _ = tiles[t]
+            recon[y:y + th, x:x + tw] = rec[j]
+            bundles[t] = encs[j]
+            bits[0] += encs[j].num_bytes * 8
+
+    pend = None                      # (job, encs, rec_device)
+    pend_e = (codec.encode_batch_async(batch_for(jobs[0]), coarse_ratio,
+                                       medium_ratio, device_pack=device_pack)
+              if jobs else None)
+    for k, job in enumerate(jobs):
+        nxt = (codec.encode_batch_async(batch_for(jobs[k + 1]), coarse_ratio,
+                                        medium_ratio,
+                                        device_pack=device_pack)
+               if k + 1 < len(jobs) else None)
+        encs = codec.encode_finish(pend_e)
+        if pend is not None:
+            stitch(pend[0], pend[1], np.asarray(pend[2]))
+        pend = (job, encs, codec.decode_batch_async(encs))
+        pend_e = nxt
+    if pend is not None:
+        stitch(pend[0], pend[1], np.asarray(pend[2]))
+
+    out = []
+    for i, (padded, (pt, pb, pl, pr), h0, w0, tiles) in enumerate(plans):
+        recon, bundles, bits = state[i]
+        h, w = padded.shape[:2]
+        recon = recon[pt:h - pb if pb else h, pl:w - pr if pr else w]
+        out.append((recon, bits[0] / (h0 * w0),
+                    [b for b in bundles if b is not None]))
+    return out

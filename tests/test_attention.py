@@ -77,3 +77,30 @@ def test_flash_dispatch_under_jit_and_vmap(rng):
     want = attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_cross_lengths_matches_xla(rng):
+    """Tq != Tk (H-sharded decoder: local queries vs gathered KV) — forward
+    and FlashAttention-2 backward both support rectangular shapes."""
+    q = jnp.asarray(rng.normal(size=(1, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1024, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 1024, 64)), jnp.float32)
+    want = attention_xla(q, k, v)
+    got = attention_flash(q, k, v, 256, 256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    o, lse = attention_flash_with_lse(q, k, v, 256, 256, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    from control_gic_tpu.ops.attention import _flash_backward
+    g = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+    dq, dk, dv = _flash_backward(q, k, v, o, lse, g, 256, 256,
+                                 interpret=True)
+    wq, wk, wv = jax.vjp(attention_xla, q, k, v)[1](g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(wk),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(wv),
+                               atol=2e-4, rtol=2e-4)

@@ -79,3 +79,26 @@ def test_compress_matches_manual_decode(codec, rng_module, tmp_path):
 def test_nondivisible_16_rejected(codec):
     with pytest.raises(AssertionError):
         codec.encode(np.zeros((60, 64, 3), np.float32), 0.1, 0.4)
+
+
+def test_roundtrip_pipelined_matches_serial(codec, rng_module):
+    """The software-pipelined loop produces byte-identical bundles and the
+    same reconstructions as serial encode_batch/decode_batch, for both the
+    host and device_pack entropy paths."""
+    batches = [rng_module.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+               for _ in range(3)]
+    for device_pack in (False, True):
+        recs_p, encs_p = codec.roundtrip_pipelined(
+            batches, 0.1, 0.4, device_pack=device_pack)
+        assert len(recs_p) == len(encs_p) == len(batches)
+        for b, rec_p, enc_p in zip(batches, recs_p, encs_p):
+            encs_s = codec.encode_batch(b, 0.1, 0.4, device_pack=device_pack)
+            rec_s = codec.decode_batch(encs_s)
+            assert [e.streams for e in encs_s] == [e.streams for e in enc_p]
+            assert [e.mode for e in encs_s] == [e.mode for e in enc_p]
+            np.testing.assert_allclose(np.asarray(rec_p), rec_s, atol=1e-6)
+
+
+def test_roundtrip_pipelined_empty(codec):
+    recs, encs = codec.roundtrip_pipelined([], 0.1, 0.4)
+    assert recs == [] and encs == []

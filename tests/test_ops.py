@@ -5,7 +5,7 @@ import jax.numpy as jnp
 from control_gic_tpu.ops import (
     nearest_resize, upsample_nearest, avg_pool, patch_entropy,
     triple_grain_router, grain_indices_from_masks,
-    vq_lookup, vq_quantize,
+    vq_lookup, vq_quantize, upsample2_conv3x3,
 )
 
 
@@ -39,6 +39,66 @@ def test_avg_pool(rng):
     got = np.asarray(avg_pool(jnp.asarray(x), 4))
     want = x.reshape(2, 16, 4, 16, 4, 5).mean(axis=(2, 4))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def _direct_up2_conv(x, k, b):
+    import jax
+    up = upsample_nearest(x, 2)
+    out = jax.lax.conv_general_dilated(
+        up, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + b
+
+
+def test_upsample2_conv3x3_matches_direct(rng):
+    """The subpixel reformulation is the same function as up2 -> 3x3 SAME
+    conv (only f32 reassociation of summed kernel taps differs)."""
+    for (n, h, w, c, co) in [(2, 8, 8, 16, 16), (1, 7, 5, 8, 12),
+                             (1, 16, 24, 32, 32)]:
+        x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, c, co)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+        want = np.asarray(_direct_up2_conv(x, k, b))
+        got = np.asarray(upsample2_conv3x3(x, k, b))
+        assert got.shape == (n, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_upsample2_conv3x3_grad_matches(rng):
+    import jax
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    g_sub = jax.grad(lambda *a: jnp.sum(jnp.tanh(
+        upsample2_conv3x3(*a))), argnums=(0, 1, 2))(x, k, b)
+    g_dir = jax.grad(lambda *a: jnp.sum(jnp.tanh(
+        _direct_up2_conv(*a))), argnums=(0, 1, 2))(x, k, b)
+    for gs, gd in zip(g_sub, g_dir):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_upsample_module_flag_paths_agree(rng, monkeypatch):
+    """Upsample's subpixel and direct paths share one param tree and one
+    function value."""
+    import jax
+    from control_gic_tpu.models.blocks import Upsample
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    monkeypatch.setenv("CONTROL_GIC_SUBPIXEL", "0")
+    v_dir = Upsample().init(jax.random.PRNGKey(0), x)
+    y_dir = Upsample().apply(v_dir, x)
+    monkeypatch.delenv("CONTROL_GIC_SUBPIXEL")
+    v_sub = Upsample().init(jax.random.PRNGKey(0), x)
+    y_sub = Upsample().apply(v_sub, x)
+    assert jax.tree_util.tree_structure(v_dir) == \
+        jax.tree_util.tree_structure(v_sub)
+    for a, b in zip(jax.tree_util.tree_leaves(v_dir),
+                    jax.tree_util.tree_leaves(v_sub)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_dir),
+                               rtol=2e-5, atol=2e-5)
 
 
 # ----------------------------------------------------------------- entropy

@@ -77,6 +77,34 @@ def test_tiled_codec_matches_solo_tiles(rng):
     np.testing.assert_allclose(rec_dp, rec, atol=1e-5, rtol=1e-5)
 
 
+def test_tiled_many_matches_per_image(rng):
+    """compress_tiled_many (pipelined across shape groups + images) is
+    byte- and pixel-identical to compress_tiled per image, mixed sizes."""
+    from control_gic_tpu.codec import CGICCodec
+    from control_gic_tpu.parallel.tiling import (compress_tiled,
+                                                 compress_tiled_many)
+
+    model = CGIC(TINY)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), 0.1, 0.4)
+    codec = CGICCodec(model, variables, np.ones(TINY.n_embed, np.int64))
+    images = [rng.uniform(0, 1, (128, 96, 3)).astype(np.float32),
+              rng.uniform(0, 1, (100, 130, 3)).astype(np.float32),
+              rng.uniform(0, 1, (128, 96, 3)).astype(np.float32)]
+
+    many = compress_tiled_many(codec, images, 0.1, 0.4, tile=64,
+                               device_pack=True)
+    assert len(many) == len(images)
+    for img, (rec_m, bpp_m, bundles_m) in zip(images, many):
+        rec_1, bpp_1, bundles_1 = compress_tiled(codec, img, 0.1, 0.4,
+                                                 tile=64, device_pack=True)
+        assert rec_m.shape == img.shape
+        assert bpp_m == pytest.approx(bpp_1)
+        assert [b.streams for b in bundles_m] == \
+            [b.streams for b in bundles_1]
+        np.testing.assert_allclose(rec_m, rec_1, atol=1e-5, rtol=1e-5)
+
+
 def test_data_parallel_train_step_runs(rng):
     """One fused train step over the 8-device mesh: state advances, metrics
     finite, codebook counters accumulate the global batch."""
