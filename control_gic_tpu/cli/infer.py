@@ -110,13 +110,16 @@ def main(argv=None):
     if args.lpips:
         import jax
         import jax.numpy as jnp
-        from ..models.lpips import LPIPS
+        from ..models.lpips import LPIPS, with_bundled_lin_heads
         lpips_mod = LPIPS(net=args.lpips_net)
         lpips_vars = lpips_mod.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
             jnp.zeros((1, 64, 64, 3)))
-        print("WARNING: LPIPS backbone is random-init unless weights were "
-              "ported; values are relative only.")
+        lpips_vars = {"params": with_bundled_lin_heads(
+            lpips_vars["params"], args.lpips_net)}
+        print("NOTE: lin heads are the reference v0.1 weights; the ImageNet "
+              "backbone is random-init unless ported — values are relative "
+              "only until a backbone is supplied.")
 
         def lpips_fn(a, b):
             return float(lpips_mod.apply(

@@ -22,16 +22,22 @@ perceptual_similarity/):
     (networks_basic.py:61-89).
 
 Weights: the reference downloads the ImageNet backbone at runtime and loads
-bundled v0.1 linear heads. This environment has no network egress, so the
-module random-initializes; `utils/port_torch.py::load_lpips_lin_heads`
-ports the bundled lin heads and `load_lpips_backbone` ports a torchvision
-features state_dict when the user supplies one. With random backbone
-weights LPIPS is still a valid perceptual-style training signal but not
+bundled v0.1 linear heads (dist_model.py:63-69). The v0.1 lin heads for all
+three nets ship with THIS package as npz data (lpips_weights/, converted
+from the reference's bundled .pth files) and `with_bundled_lin_heads`
+installs them into an initialized param tree — this is the default in the
+training loss and the infer CLI. Only the torchvision ImageNet *backbone*
+remains environment-blocked (no network egress): port one with
+`utils/port_torch.py::load_lpips_backbone` when available. With a random
+backbone LPIPS is still a valid perceptual-style training signal but not
 comparable to published numbers — document in any eval output.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 _SHIFT = (-0.030, -0.088, -0.188)
@@ -198,3 +204,25 @@ class LPIPS(nn.Module):
             contrib = jnp.einsum("bhwc,c->bhw", diff, w)
             total = total + contrib.mean(axis=(1, 2))
         return total
+
+
+_WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "lpips_weights")
+
+
+def bundled_lin_heads(net: str = "alex") -> dict:
+    """The reference's v0.1 LPIPS linear-head weights as {'lin0': [chn], ...}
+    (bundled as npz data; original load site dist_model.py:63-69)."""
+    net = "vgg" if net == "vgg16" else net
+    with np.load(os.path.join(_WEIGHTS_DIR, f"{net}_lin.npz")) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}
+
+
+def with_bundled_lin_heads(params: dict, net: str = "alex") -> dict:
+    """Return a copy of an initialized LPIPS param tree with the lin heads
+    replaced by the reference's trained v0.1 weights."""
+    heads = bundled_lin_heads(net)
+    out = dict(params)
+    for k, v in heads.items():
+        assert out[k].shape == v.shape, (k, out[k].shape, v.shape)
+        out[k] = v
+    return out

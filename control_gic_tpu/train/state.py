@@ -74,7 +74,10 @@ def create_train_state(rng: jax.Array, model_cfg: CGICConfig,
                           train_cfg.medium_ratio)
     disc_vars = disc.init(k2, x, train=False)
     if lpips_params is None:
-        lpips_params = lpips.init(k3, x, x)["params"]
+        # reference-trained v0.1 lin heads by default (dist_model.py:63-69);
+        # the ImageNet backbone stays random unless ported (models/lpips.py)
+        from ..models.lpips import with_bundled_lin_heads
+        lpips_params = with_bundled_lin_heads(lpips.init(k3, x, x)["params"])
 
     opt = make_optimizer(train_cfg)
     gen_params = gen_vars["params"]

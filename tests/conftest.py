@@ -15,12 +15,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: CPU compiles of the full model take minutes
-# on small hosts; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 os.path.expanduser("~/.cache/jax_cache_cpu")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# on small hosts; cache them across test runs. Machine-keyed dir — CPU AOT
+# entries from a different host never load (utils/cache.py).
+from control_gic_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache("cpu")
 
 
 @pytest.fixture

@@ -147,3 +147,40 @@ def test_lpips_variant_modules_run(net, rng):
     out = mod.apply(v, x, x)
     assert out.shape == (1,)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+REF_W = ("/root/reference/CGIC/modules/losses/perceptual_similarity/"
+         "weights/v0.1")
+
+
+@pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
+def test_bundled_lin_heads_match_reference_pth(net):
+    """The npz heads shipped in models/lpips_weights/ are bit-identical to
+    the reference's bundled v0.1 .pth heads (dist_model.py:63-69)."""
+    import os
+    from control_gic_tpu.models.lpips import bundled_lin_heads
+    from control_gic_tpu.utils.port_torch import load_lpips_lin_heads
+    path = os.path.join(REF_W, f"{net}.pth")
+    if not os.path.exists(path):
+        pytest.skip("reference weight mount not available")
+    want = load_lpips_lin_heads(path)
+    got = bundled_lin_heads(net)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+        assert np.asarray(got[k]).min() >= 0  # heads are ReLU-projected >= 0
+
+
+def test_with_bundled_lin_heads_installs(rng):
+    import jax
+    from control_gic_tpu.models.lpips import (LPIPS, bundled_lin_heads,
+                                              with_bundled_lin_heads)
+    mod = LPIPS()
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x, x)["params"]
+    ported = with_bundled_lin_heads(params)
+    heads = bundled_lin_heads()
+    for k, v in heads.items():
+        np.testing.assert_array_equal(np.asarray(ported[k]), np.asarray(v))
+    # still applies cleanly and zero-distance property holds
+    out = mod.apply({"params": ported}, x, x)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
