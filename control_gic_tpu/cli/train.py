@@ -110,7 +110,8 @@ def main(argv=None):
     attempt = 0
     while True:
         try:
-            return _run(args, resume=args.resume or attempt > 0)
+            return _run(args, resume=args.resume or attempt > 0,
+                        attempt=attempt)
         except (TrainFault, jax.errors.JaxRuntimeError) as e:
             attempt += 1
             if attempt > args.max_restarts:
@@ -120,7 +121,7 @@ def main(argv=None):
                   f"[{attempt}/{args.max_restarts}]")
 
 
-def _run(args, resume: bool):
+def _run(args, resume: bool, attempt: int = 0):
     mesh = make_mesh()
     n_dev = mesh.devices.size
     assert args.batch_size % n_dev == 0, (args.batch_size, n_dev)
@@ -157,8 +158,18 @@ def _run(args, resume: bool):
 
     train_ds = ImageFolderDataset(args.train_dir, args.image_size)
     print(f"train images: {len(train_ds)}")
+    # Resume continues the data stream at the checkpointed step (per-epoch
+    # shuffle is a pure function of (seed, epoch) — see prefetch_batches).
+    # A restart with NO checkpoint would replay the identical stream into a
+    # deterministic early fault, so those attempts bump the shuffle seed.
+    data_seed = args.seed
+    if attempt and start == 0:
+        data_seed = args.seed + attempt
+        print(f"restart from scratch (no checkpoint): shuffle seed "
+              f"{args.seed} -> {data_seed} to avoid replaying a "
+              f"deterministic fault")
     batches = prefetch_batches(train_ds, args.batch_size, shuffle=True,
-                               seed=args.seed)
+                               seed=data_seed, start_step=start)
     val_batches = None
     if args.val_dir:
         val_ds = ImageFolderDataset(args.val_dir, args.image_size)

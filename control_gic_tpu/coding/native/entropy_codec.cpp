@@ -56,7 +56,11 @@ struct BitWriter {
 inline uint64_t be_load64(const uint8_t* p) {
   uint64_t v;
   std::memcpy(&v, p, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+  return v;  // bytes already land MSB-first in the register
+#else
   return __builtin_bswap64(v);
+#endif
 }
 
 // LUT entry: (code_len << 16) | symbol when the first code in the K-bit

@@ -96,22 +96,34 @@ class EvalImageDataset:
 def prefetch_batches(dataset, batch_size: int, *, shuffle: bool = True,
                      seed: int = 0, num_threads: int = 4,
                      drop_last: bool = True,
-                     epochs: Optional[int] = None) -> Iterator[np.ndarray]:
-    """Yield [B, H, W, 3] batches with threaded decode + bounded prefetch."""
-    rng = np.random.default_rng(seed)
+                     epochs: Optional[int] = None,
+                     start_step: int = 0) -> Iterator[np.ndarray]:
+    """Yield [B, H, W, 3] batches with threaded decode + bounded prefetch.
+
+    Each epoch's shuffle is derived from (seed, epoch), so the stream is a
+    pure function of position: resuming with start_step=N yields exactly
+    the batches a fresh run would yield from its (N+1)-th batch on — the
+    reference's Lightning resume restores epoch position the same way
+    (main.py:130-134). `epochs` counts absolute epochs (a resume inside
+    epoch 3 of epochs=5 runs the remaining 2+).
+    """
     n = len(dataset)
+    per_epoch = (n // batch_size) if drop_last else -(-n // batch_size)
     stop = threading.Event()
     q: "queue.Queue" = queue.Queue(maxsize=8)
 
     def order_iter():
-        epoch = 0
+        epoch, skip = divmod(start_step, max(per_epoch, 1))
         while epochs is None or epoch < epochs:
+            rng = np.random.default_rng((seed, epoch))
             idx = np.arange(n)
             if shuffle:
                 rng.shuffle(idx)
-            yield from (idx[i:i + batch_size]
-                        for i in range(0, n, batch_size)
-                        if (not drop_last) or i + batch_size <= n)
+            batches = [idx[i:i + batch_size]
+                       for i in range(0, n, batch_size)
+                       if (not drop_last) or i + batch_size <= n]
+            yield from batches[skip:]
+            skip = 0
             epoch += 1
 
     def worker():

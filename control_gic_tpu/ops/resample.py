@@ -80,16 +80,33 @@ def upsample2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     """
     n, h, w, c = x.shape
     co = kernel.shape[-1]
+    k4 = phase_conv_kernel(kernel, x.dtype)
+    y = lax.conv_general_dilated(
+        x, k4, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [N, H+1, W+1, 4Co]
+    return phase_unshuffle(y, n, h, w, co, bias)
+
+
+def phase_conv_kernel(kernel: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Fold a [3,3,C,Co] kernel into the 2x2 4-phase kernel [2,2,C,4Co]
+    used by upsample2_conv3x3 (combined in f32, cast to `dtype`)."""
+    c, co = kernel.shape[2], kernel.shape[3]
     k32 = kernel.astype(jnp.float32)
     a = jnp.asarray(_PHASE, jnp.float32)            # [2 phase, 2 tap, 3]
     # [tap_u, tap_v, C, phase_a, phase_b, Co] -> 2x2 conv, 4*Co outputs
     k4 = jnp.einsum("aup,bvq,pqio->uviabo", a, a, k32)
-    k4 = k4.reshape(2, 2, c, 4 * co).astype(x.dtype)
-    y = lax.conv_general_dilated(
-        x, k4, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [N, H+1, W+1, 4Co]
+    return k4.reshape(2, 2, c, 4 * co).astype(dtype)
+
+
+def phase_unshuffle(y: jnp.ndarray, n: int, h: int, w: int, co: int,
+                    bias: jnp.ndarray) -> jnp.ndarray:
+    """Interleave the 4 phase outputs [N,H+1,W+1,4Co] -> [N,2H,2W,Co].
+
+    Phase (a, b) lives at y[:, a:a+H, b:b+W, a, b] (see the derivation in
+    upsample2_conv3x3); also exact for an H-sharded y where the extra row
+    comes from a neighbor's halo (parallel/halo.py::halo_upsample2_conv3x3).
+    """
     y = y.reshape(n, h + 1, w + 1, 2, 2, co)
-    # phase (a, b) lives at y[:, a:a+H, b:b+W, a, b] (see derivation above)
     p00 = y[:, 0:h, 0:w, 0, 0]
     p01 = y[:, 0:h, 1:w + 1, 0, 1]
     p10 = y[:, 1:h + 1, 0:w, 1, 0]

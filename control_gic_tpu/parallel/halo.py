@@ -70,6 +70,30 @@ def halo_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     return out + bias
 
 
+def halo_upsample2_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
+                           bias: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """H-sharded subpixel upsample+conv, exact vs the unsharded
+    ops/resample.py::upsample2_conv3x3.
+
+    The 4-phase 2x2 conv reads one row beyond each shard boundary (global
+    form pads H by 1 on both sides), so a 1-row halo exchange followed by
+    VALID-along-H conv reproduces y rows [s*H_l, s*H_l + H_l] exactly; the
+    phase unshuffle then needs no index changes (phase_unshuffle docstring).
+
+    x: [B, H_shard, W, C] inside shard_map; kernel [3,3,C,Co] -> [B, 2H_shard, 2W, Co].
+    """
+    from ..ops.resample import phase_conv_kernel, phase_unshuffle
+
+    n, h, w, _ = x.shape
+    co = kernel.shape[-1]
+    k4 = phase_conv_kernel(kernel, x.dtype)
+    xh = halo_exchange(x, 1, axis_name)             # [B, H_l + 2, W, C]
+    y = jax.lax.conv_general_dilated(
+        xh, k4, (1, 1), ((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H_l + 1, W+1, 4Co]
+    return phase_unshuffle(y, n, h, w, co, bias)
+
+
 def sharded_conv2d_same(mesh: Mesh, x, kernel, bias, axis: str = "data"):
     """Top-level helper: run halo_conv2d under shard_map with x sharded on
     H. x: [B, H, W, C] global."""

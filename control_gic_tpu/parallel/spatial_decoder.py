@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .halo import halo_conv2d
+from ..ops.resample import subpixel_enabled
+from .halo import halo_conv2d, halo_upsample2_conv3x3
 
 
 # --------------------------------------------------------------------- ops
@@ -181,9 +182,15 @@ def _decoder_shard(z, zq, m_c, m_m, m_f, params, *, axis_name: str,
                 h = _attn_block(h, zq, params[f"up_{i_level}_attn_{i_block}"],
                                 axis_name)
         if i_level != 0:
-            h = _up2_local(h)
-            h = _conv_sharded(h, params[f"up_{i_level}_upsample"]["conv"],
-                              axis_name)
+            # same path selection as models/blocks.py::Upsample (the two
+            # must stay numerically in lockstep — CLAUDE.md invariant)
+            p_up = params[f"up_{i_level}_upsample"]["conv"]
+            if subpixel_enabled():
+                h = halo_upsample2_conv3x3(h, p_up["kernel"], p_up["bias"],
+                                           axis_name)
+            else:
+                h = _up2_local(h)
+                h = _conv_sharded(h, p_up, axis_name)
 
     h = _spatial_norm(h, zq, params["norm_out"], axis_name)
     h = _swish(h)

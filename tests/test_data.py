@@ -45,3 +45,21 @@ def test_prefetch_batches(image_dir):
     assert len(batches) == 4     # 4 imgs / batch 2 x 2 epochs
     for b in batches:
         assert b.shape == (2, 32, 32, 3)
+
+
+def test_prefetch_resume_continues_stream(image_dir):
+    """start_step=N reproduces exactly the tail of the fresh stream — the
+    Lightning-resume data-fidelity semantics (reference main.py:130-134)."""
+    ds = ImageFolderDataset(image_dir, image_size=32)
+    full = list(prefetch_batches(ds, 2, shuffle=True, seed=7, epochs=3))
+    assert len(full) == 6
+    for start in (1, 2, 3, 5):
+        tail = list(prefetch_batches(ds, 2, shuffle=True, seed=7, epochs=3,
+                                     start_step=start))
+        assert len(tail) == len(full) - start
+        for a, b in zip(tail, full[start:]):
+            np.testing.assert_array_equal(a, b)
+    # different epochs genuinely reshuffle (not the same order every epoch)
+    e0 = np.concatenate(full[:2]).reshape(2 * 2, -1)
+    e1 = np.concatenate(full[2:4]).reshape(2 * 2, -1)
+    assert not np.array_equal(e0, e1)
