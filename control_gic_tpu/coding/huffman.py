@@ -105,7 +105,19 @@ class HuffmanCodec:
 
     @classmethod
     def from_counts(cls, counts: Sequence[int]) -> "HuffmanCodec":
-        return cls({i: int(c) for i, c in enumerate(counts)})
+        """Build the table the way the reference does at runtime.
+
+        The reference iterates `model.quantize.embedding_counter` — an
+        nn.ParameterDict (quantize.py:28) — to fill its heap
+        (indices_coding.py:46-48 via inference.py:137-139). torch's
+        ParameterDict.update sorts plain-dict keys, so iteration order is
+        LEXICOGRAPHIC on the stringified symbol ("0","1","10","11",...),
+        not numeric; heapq tie-breaking depends on insertion order, so the
+        same order is required for byte-identical streams (pinned by
+        test_coding / test_golden_pipeline against the real ParameterDict).
+        """
+        items = sorted((str(i), int(c)) for i, c in enumerate(counts))
+        return cls({int(k): v for k, v in items})
 
     def _prepare_tables(self):
         n = self.n_sym

@@ -136,3 +136,47 @@ def streams_to_bytes(packed: Dict[str, Tuple[np.ndarray, np.ndarray]],
     """Frame image i's streams from fetched (payload, bits) arrays."""
     return {name: frame_from_words(np.asarray(p[i]), int(bits[i]))
             for name, (p, bits) in packed.items()}
+
+
+# --------------------------------------------------- fused single-fetch form
+
+def fused_layout(mode: int, hl: int, wl: int, max_code_len: int):
+    """Static word layout of the fused payload buffer for one mode:
+    [(stream_name, word_offset, n_words), ...] in _MODE_STREAMS order.
+
+    Capacities mirror pack_streams_batch exactly (index streams:
+    ceil(n * max_code_len / 32) + 1; bitmaps: ceil(n / 32) + 1)."""
+    max_len = max(int(max_code_len), 1)
+    sizes = {
+        "indices_coarse": ((hl // 4) * (wl // 4) * max_len + 31) // 32 + 1,
+        "indices_medium": ((hl // 2) * (wl // 2) * max_len + 31) // 32 + 1,
+        "indices_fine": (hl * wl * max_len + 31) // 32 + 1,
+        "mask_coarse": ((hl // 4) * (wl // 4) + 31) // 32 + 1,
+        "mask_medium": ((hl // 2) * (wl // 2) + 31) // 32 + 1,
+    }
+    out = []
+    off = 0
+    for name in _MODE_STREAMS[mode]:
+        out.append((name, off, sizes[name]))
+        off += sizes[name]
+    return out
+
+
+def fuse_packed(packed: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+                mode: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate pack_streams_batch output into ONE payload buffer
+    [B, total_words] uint32 + ONE bits array [B, n_streams] int32, so the
+    host needs exactly two D2H fetches per batch instead of two per stream
+    (each fetch pays a full tunnel round-trip)."""
+    names = [n for n in _MODE_STREAMS[mode]]
+    payload = jnp.concatenate([packed[n][0] for n in names], axis=-1)
+    bits = jnp.stack([packed[n][1] for n in names], axis=-1)
+    return payload, bits
+
+
+def fused_to_bytes(payload: np.ndarray, bits: np.ndarray, layout,
+                   i: int) -> Dict[str, bytes]:
+    """Frame image i's streams from the fetched fused buffers."""
+    return {name: frame_from_words(payload[i, off:off + nw],
+                                   int(bits[i, k]))
+            for k, (name, off, nw) in enumerate(layout)}

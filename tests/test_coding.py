@@ -143,3 +143,37 @@ def test_byte_exact_vs_reference_bitmap(rng, tmp_path):
     assert ours.encode(bits) == ref_bytes
     np.testing.assert_array_equal(ours.decode(ref_bytes),
                                   ref.decompress_string(ref_path))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_from_counts_matches_parameterdict_order(rng):
+    """The runtime reference builds its heap by iterating an
+    nn.ParameterDict (quantize.py:28, inference.py:137-139), whose key
+    order is LEXICOGRAPHIC ("0","1","10",...), not numeric — heap ties
+    resolve differently than for a plain insertion-ordered dict.
+    from_counts must replicate that order for byte-identical streams."""
+    import sys
+    sys.path.insert(0, REF)
+    import torch
+    from torch import nn
+    from CGIC.tools.indices_coding import HuffmanCoding as RefHuffman
+
+    n = 256
+    # heavy ties to exercise insertion-order-dependent tie-breaking
+    counts = rng.integers(1, 8, size=n).astype(np.int64)
+    pd = nn.ParameterDict({str(i): nn.Parameter(torch.zeros(1))
+                           for i in range(n)}).requires_grad_(False)
+    with torch.no_grad():
+        for i in range(n):
+            pd[str(i)].copy_(torch.tensor([float(counts[i])]))
+    assert list(pd.keys()) == sorted(str(i) for i in range(n)), \
+        "torch ParameterDict no longer sorts keys; revisit from_counts"
+    ref = RefHuffman(pd)
+    ours = HuffmanCodec.from_counts(counts)
+    assert ours.codes == ref.codes
+    syms = rng.integers(0, n, size=2048).astype(np.int32)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = ref.compress(torch.tensor(syms), os.path.join(d, "s.bin"))
+        with open(p, "rb") as f:
+            assert ours.encode(syms) == f.read()
