@@ -81,7 +81,8 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "3300"))
     configs = os.environ.get(
         "BENCH_CONFIGS",
-        "rt256,codec256,kodak,tiled2k" if on_tpu else "rt256").split(",")
+        "rt256,codec256,codec256_u8,kodak,kodak_full,tiled2k"
+        if on_tpu else "rt256").split(",")
     t_start = _now()
 
     cfg = CGICConfig(dtype="bfloat16")
@@ -188,7 +189,7 @@ def main():
                 extra["codec256_full_img_s"] = round(val, 3)
                 extra["codec256_serial_img_s"] = round(serial, 3)
             elif name == "kodak":
-                kb = max(2, batch // 2)
+                kb = int(os.environ.get("BENCH_KODAK_BATCH", batch))
                 kfn = roundtrip_scan_fn((512, 768))
                 kw = rand_imgs((2, kb, 512, 768, 3))
                 kx = rand_imgs((2, kb, 512, 768, 3))
@@ -196,6 +197,43 @@ def main():
                 t0 = _now()
                 float(kfn(variables, kx))
                 extra["kodak_img_s"] = round(kb * 2 / (_now() - t0), 3)
+            elif name == "kodak_full":
+                # full codec (entropy stage + file-equivalent framing) at
+                # the Kodak shape — BASELINE.json's named config
+                if codec is None:
+                    counts = np.maximum(
+                        rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
+                    codec = CGICCodec(model, variables, counts)
+                kb = int(os.environ.get("BENCH_KODAK_BATCH", batch))
+                nkf = 3
+                imgs_k = [np.asarray(rand_imgs((kb, 512, 768, 3)))
+                          for _ in range(nkf)]
+                codec.roundtrip_pipelined(imgs_k[:1], 0.1, 0.4,
+                                          device_pack=True)  # warm compile
+                t0 = _now()
+                recs, encs = codec.roundtrip_pipelined(
+                    imgs_k, 0.1, 0.4, device_pack=True)
+                extra["kodak_full_img_s"] = round(
+                    kb * nkf / (_now() - t0), 3)
+                extra["kodak_bpp"] = round(
+                    float(np.mean([e.bpp for b in encs for e in b])), 4)
+            elif name == "codec256_u8":
+                # same full codec but uint8 H2D images + uint8 D2H recon
+                # (the bytes a PNG-writing user actually moves)
+                if codec is None:
+                    counts = np.maximum(
+                        rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
+                    codec = CGICCodec(model, variables, counts)
+                n8 = max(2, iters // 2)
+                imgs8 = [(np.asarray(rand_imgs((batch, 256, 256, 3)))
+                          * 255).astype(np.uint8) for _ in range(n8)]
+                codec.roundtrip_pipelined(imgs8[:1], 0.1, 0.4,
+                                          device_pack=True, out_uint8=True)
+                t0 = _now()
+                codec.roundtrip_pipelined(imgs8, 0.1, 0.4,
+                                          device_pack=True, out_uint8=True)
+                extra["codec256_full_u8_img_s"] = round(
+                    batch * n8 / (_now() - t0), 3)
             elif name == "tiled2k":
                 if codec is None:
                     counts = np.maximum(

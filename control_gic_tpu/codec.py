@@ -37,7 +37,8 @@ import numpy as np
 
 from .coding import BitmapCodec, HuffmanCodec
 from .coding.huffman_tpu import pack_tables, supports_table
-from .coding.stream_pack import pack_streams_batch, streams_to_bytes
+from .coding.stream_pack import (fuse_packed, fused_layout, fused_to_bytes,
+                                 pack_streams_batch)
 from .models.cgic import CGIC
 from .ops.router import mode_from_ratios
 
@@ -73,7 +74,7 @@ class _PendingEncode:
     latent_hw: Tuple[int, int]
     image_hw: Tuple[int, int]
     n: int
-    packed: Optional[Dict] = None    # device_pack: name -> (words, bits)
+    packed: Optional[Tuple] = None   # device_pack: (payload, bits) fused
     enc: Optional[object] = None     # raw EncodeOutput (indices + router)
 
 
@@ -132,54 +133,118 @@ class CGICCodec:
                                if supports_table(self.huffman.codes) else None)
         self._encode_fns = {}
         self._encode_pack_fns = {}
+        self._decode_fns = {}
         self._decode_fn = jax.jit(
             lambda v, idx, masks: self.model.apply(
                 v, idx, masks, method=CGIC.decode_indices))
 
+    def _decode_fused_fn(self, hl: int, wl: int, out_uint8: bool):
+        """Receiver decode taking ONE fused int32 buffer per batch
+        ([B, ind | m_c | m_m | m_f] flattened) — a single H2D transfer
+        instead of four (each device_put pays a tunnel round-trip).
+        out_uint8 additionally quantizes the reconstruction on device
+        exactly like cli.common.save_png (clip -> *255 -> trunc), cutting
+        the recon D2H fetch 4x."""
+        key = (hl, wl, out_uint8)
+        if key not in self._decode_fns:
+            nf = hl * wl
+            nc = (hl // 4) * (wl // 4)
+            nm = (hl // 2) * (wl // 2)
+
+            def fn(v, buf):
+                b = buf.shape[0]
+                ind = buf[:, :nf].reshape(b, hl, wl)
+                m_c = buf[:, nf:nf + nc].reshape(b, hl // 4, wl // 4)
+                m_m = buf[:, nf + nc:nf + nc + nm].reshape(b, hl // 2,
+                                                           wl // 2)
+                m_f = buf[:, nf + nc + nm:].reshape(b, hl, wl)
+                rec = self.model.apply(v, ind, (m_c, m_m, m_f),
+                                       method=CGIC.decode_indices)
+                if out_uint8:
+                    rec = (jnp.clip(rec, 0.0, 1.0) * 255).astype(jnp.uint8)
+                return rec
+
+            self._decode_fns[key] = jax.jit(fn)
+        return self._decode_fns[key]
+
+    def _fused_decode_input(self, inds, m_cs, m_ms, m_fs) -> np.ndarray:
+        b = len(inds)
+        return np.concatenate(
+            [np.stack(inds).reshape(b, -1),
+             np.stack(m_cs).reshape(b, -1),
+             np.stack(m_ms).reshape(b, -1),
+             np.stack(m_fs).reshape(b, -1)], axis=1).astype(np.int32)
+
     # ---------------------------------------------------------------- encode
+
+    @staticmethod
+    def _to_float(x: jnp.ndarray) -> jnp.ndarray:
+        """uint8 inputs convert on device (x/255 — identical math to the
+        host ToTensor() conversion, 4x smaller H2D transfer)."""
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
+        return x
+
+    @staticmethod
+    def _as_input(images) -> jnp.ndarray:
+        """Host->device image upload; uint8 arrays ship as-is (see
+        _to_float), anything else as float32."""
+        if getattr(images, "dtype", None) == np.uint8:
+            return jnp.asarray(images)
+        return jnp.asarray(images, jnp.float32)
 
     def _encode_fn(self, rc: float, rm: float, per_sample: bool = False):
         key = (rc, rm, per_sample)
         if key not in self._encode_fns:
             self._encode_fns[key] = jax.jit(
                 lambda v, x: self.model.apply(
-                    v, x, rc, rm, per_sample=per_sample,
+                    v, self._to_float(x), rc, rm, per_sample=per_sample,
                     method=CGIC.encode))
         return self._encode_fns[key]
 
     def _encode_pack_fn(self, rc: float, rm: float, per_sample: bool):
         """One jitted program: neural encode + on-device stream packing.
 
-        The host receives only packed 32-bit words + bit counts per stream
-        (coding/stream_pack.py) instead of the full index/mask grids."""
+        The host receives ONE fused payload buffer + ONE bits array for the
+        whole batch (coding/stream_pack.py::fuse_packed) instead of the
+        index/mask grids — two D2H fetches per batch total; each separate
+        fetch pays a full tunnel round-trip, which dominated the round-2
+        host stage."""
         assert self._device_tables is not None
         key = (rc, rm, per_sample)
         if key not in self._encode_pack_fns:
             lens, words = self._device_tables
-
             max_code_len = int(lens.max()) if lens.size else 1
+            mode = mode_from_ratios(rc, rm)
 
             def fn(v, x):
-                enc = self.model.apply(v, x, rc, rm, per_sample=per_sample,
+                enc = self.model.apply(v, self._to_float(x), rc, rm,
+                                       per_sample=per_sample,
                                        method=CGIC.encode)
-                return pack_streams_batch(enc.indices, enc.router.masks,
-                                          enc.router.mode, lens, words,
-                                          max_code_len)
+                packed = pack_streams_batch(enc.indices, enc.router.masks,
+                                            enc.router.mode, lens, words,
+                                            max_code_len)
+                return fuse_packed(packed, mode)
 
             self._encode_pack_fns[key] = jax.jit(fn)
         return self._encode_pack_fns[key]
 
+    def _pack_layout(self, mode: int, hl: int, wl: int):
+        lens, _ = self._device_tables
+        max_code_len = int(lens.max()) if lens.size else 1
+        return fused_layout(mode, hl, wl, max_code_len)
+
     def _encode_packed(self, images: jnp.ndarray, rc: float, rm: float,
                        per_sample: bool) -> List[EncodedImage]:
         n, h, w, _ = images.shape
-        packed = self._encode_pack_fn(rc, rm, per_sample)(
+        payload, bits = self._encode_pack_fn(rc, rm, per_sample)(
             self.variables, images)
-        packed = {name: (np.asarray(p), np.asarray(bits))
-                  for name, (p, bits) in packed.items()}
+        payload, bits = np.asarray(payload), np.asarray(bits)
         mode = mode_from_ratios(rc, rm)
+        layout = self._pack_layout(mode, h // 4, w // 4)
         return [EncodedImage(mode=mode, latent_hw=(h // 4, w // 4),
                              image_hw=(h, w),
-                             streams=streams_to_bytes(packed, i))
+                             streams=fused_to_bytes(payload, bits, layout, i))
                 for i in range(n)]
 
     def streams_from_arrays(self, ind: np.ndarray, m_c: np.ndarray,
@@ -217,7 +282,7 @@ class CGICCodec:
         assert image.ndim == 3, image.shape
         h, w, _ = image.shape
         assert h % 16 == 0 and w % 16 == 0, "pad/crop to /16 first"
-        x = jnp.asarray(image, jnp.float32)[None]
+        x = self._as_input(image)[None]
         if device_pack and self._device_tables is not None:
             return self._encode_packed(x, float(coarse_ratio),
                                        float(medium_ratio),
@@ -250,12 +315,12 @@ class CGICCodec:
         n, h, w, _ = images.shape
         assert h % 16 == 0 and w % 16 == 0
         if device_pack and self._device_tables is not None:
-            return self._encode_packed(jnp.asarray(images, jnp.float32),
+            return self._encode_packed(self._as_input(images),
                                        float(coarse_ratio),
                                        float(medium_ratio), per_sample=True)
         enc = self._encode_fn(float(coarse_ratio), float(medium_ratio),
                               per_sample=True)(
-            self.variables, jnp.asarray(images, jnp.float32))
+            self.variables, self._as_input(images))
         ind = np.asarray(enc.indices)
         m_c = np.asarray(enc.router.mask_coarse)
         m_m = np.asarray(enc.router.mask_medium)
@@ -356,29 +421,14 @@ class CGICCodec:
 
     def decode(self, encoded: EncodedImage) -> np.ndarray:
         """-> [H, W, 3] float reconstruction."""
-        ind, masks = self._rebuild(encoded)
-        rec = self._decode_fn(
-            self.variables,
-            jnp.asarray(ind, jnp.int32)[None],
-            tuple(jnp.asarray(m, jnp.int32)[None] for m in masks))
-        return np.asarray(rec[0])
+        return self.decode_batch([encoded])[0]
 
-    def decode_batch(self, encoded: List[EncodedImage]) -> np.ndarray:
-        """Batched decode of same-shape bundles -> [N, H, W, 3]."""
-        inds, m_cs, m_ms, m_fs = [], [], [], []
-        for e in encoded:
-            ind, (m_c, m_m, m_f) = self._rebuild(e)
-            inds.append(ind)
-            m_cs.append(m_c)
-            m_ms.append(m_m)
-            m_fs.append(m_f)
-        rec = self._decode_fn(
-            self.variables,
-            jnp.asarray(np.stack(inds), jnp.int32),
-            (jnp.asarray(np.stack(m_cs), jnp.int32),
-             jnp.asarray(np.stack(m_ms), jnp.int32),
-             jnp.asarray(np.stack(m_fs), jnp.int32)))
-        return np.asarray(rec)
+    def decode_batch(self, encoded: List[EncodedImage], *,
+                     out_uint8: bool = False) -> np.ndarray:
+        """Batched decode of same-shape bundles -> [N, H, W, 3] (float, or
+        save_png-quantized uint8 with out_uint8=True)."""
+        return np.asarray(self.decode_batch_async(encoded,
+                                                  out_uint8=out_uint8))
 
     # ----------------------------------------------------- pipelined batches
 
@@ -395,7 +445,7 @@ class CGICCodec:
         assert images.ndim == 4, images.shape
         n, h, w, _ = images.shape
         assert h % 16 == 0 and w % 16 == 0
-        x = jnp.asarray(images, jnp.float32)
+        x = self._as_input(images)
         mode = mode_from_ratios(coarse_ratio, medium_ratio)
         if device_pack and self._device_tables is not None:
             out = self._encode_pack_fn(float(coarse_ratio),
@@ -411,12 +461,14 @@ class CGICCodec:
         """Fetch a pending encode's device arrays and frame the bitstreams
         (the host entropy stage). Blocks until the device work is done."""
         if pending.packed is not None:
-            packed = {name: (np.asarray(p), np.asarray(bits))
-                      for name, (p, bits) in pending.packed.items()}
+            payload, bits = pending.packed
+            payload, bits = np.asarray(payload), np.asarray(bits)
+            layout = self._pack_layout(pending.mode, *pending.latent_hw)
             return [EncodedImage(mode=pending.mode,
                                  latent_hw=pending.latent_hw,
                                  image_hw=pending.image_hw,
-                                 streams=streams_to_bytes(packed, i))
+                                 streams=fused_to_bytes(payload, bits,
+                                                        layout, i))
                     for i in range(pending.n)]
         enc = pending.enc
         ind = np.asarray(enc.indices)
@@ -427,7 +479,8 @@ class CGICCodec:
                                          pending.mode, pending.image_hw)
                 for i in range(pending.n)]
 
-    def decode_batch_async(self, encoded: List[EncodedImage]) -> jnp.ndarray:
+    def decode_batch_async(self, encoded: List[EncodedImage], *,
+                           out_uint8: bool = False) -> jnp.ndarray:
         """Host receiver rebuild + async device decode dispatch. Returns the
         (possibly still computing) device array; np.asarray() it to sync."""
         inds, m_cs, m_ms, m_fs = [], [], [], []
@@ -437,16 +490,15 @@ class CGICCodec:
             m_cs.append(m_c)
             m_ms.append(m_m)
             m_fs.append(m_f)
-        return self._decode_fn(
-            self.variables,
-            jnp.asarray(np.stack(inds), jnp.int32),
-            (jnp.asarray(np.stack(m_cs), jnp.int32),
-             jnp.asarray(np.stack(m_ms), jnp.int32),
-             jnp.asarray(np.stack(m_fs), jnp.int32)))
+        hl, wl = encoded[0].latent_hw
+        buf = self._fused_decode_input(inds, m_cs, m_ms, m_fs)
+        return self._decode_fused_fn(hl, wl, out_uint8)(
+            self.variables, jnp.asarray(buf))
 
     def roundtrip_pipelined(self, batches, coarse_ratio: float,
                             medium_ratio: float, *,
-                            device_pack: bool = False
+                            device_pack: bool = False,
+                            out_uint8: bool = False
                             ) -> Tuple[List[np.ndarray],
                                        List[List[EncodedImage]]]:
         """Software-pipelined full codec over a sequence of same-shape image
@@ -474,7 +526,7 @@ class CGICCodec:
             encs_all.append(encs)
             if pend_d is not None:
                 recs.append(np.asarray(pend_d))
-            pend_d = self.decode_batch_async(encs)
+            pend_d = self.decode_batch_async(encs, out_uint8=out_uint8)
             pend_e = nxt
         if pend_d is not None:
             recs.append(np.asarray(pend_d))

@@ -102,3 +102,31 @@ def test_roundtrip_pipelined_matches_serial(codec, rng_module):
 def test_roundtrip_pipelined_empty(codec):
     recs, encs = codec.roundtrip_pipelined([], 0.1, 0.4)
     assert recs == [] and encs == []
+
+
+def test_uint8_input_matches_float(codec, rng_module):
+    """uint8 H2D path: on-device x/255 is bit-identical to host float/255
+    (same single-rounding conversion ToTensor performs)."""
+    img8 = (rng_module.uniform(0, 1, (2, 64, 64, 3)) * 255).astype(np.uint8)
+    imgf = img8.astype(np.float32) / 255.0
+    encs_f = codec.encode_batch(imgf, 0.1, 0.4)
+    encs_8 = codec.encode_batch(img8, 0.1, 0.4)
+    for a, b in zip(encs_f, encs_8):
+        assert a.streams == b.streams
+    # device_pack path too
+    encs_8p = codec.encode_batch(img8, 0.1, 0.4, device_pack=True)
+    for a, b in zip(encs_f, encs_8p):
+        assert a.streams == b.streams
+
+
+def test_uint8_output_matches_save_png_quantization(codec, rng_module):
+    img = rng_module.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    encs = codec.encode_batch(img, 0.1, 0.4)
+    rec_f = codec.decode_batch(encs)
+    rec_8 = codec.decode_batch(encs, out_uint8=True)
+    assert rec_8.dtype == np.uint8
+    want = (np.clip(rec_f, 0.0, 1.0) * 255).astype(np.uint8)
+    # identical up to f32-vs-device rounding at exact integer boundaries
+    diff = np.abs(rec_8.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3

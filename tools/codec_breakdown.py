@@ -66,49 +66,55 @@ def main():
     encs = codec.encode_batch(imgs[0], 0.1, 0.4, device_pack=True)
     codec.decode_batch(encs)
 
-    t_pack = t_fetch = t_frame = t_rebuild = t_dec = 0.0
-    from control_gic_tpu.coding.stream_pack import streams_to_bytes
+    t_pack = t_fetch = t_frame = t_rebuild = t_h2d = t_dec = 0.0
+    from control_gic_tpu.ops.router import mode_from_ratios
+    from control_gic_tpu.codec import EncodedImage
+    from control_gic_tpu.coding.stream_pack import fused_to_bytes
+    mode = mode_from_ratios(0.1, 0.4)
+    layout = codec._pack_layout(mode, 64, 64)
+    dec_fn = codec._decode_fused_fn(64, 64, False)
     for im in imgs:
         x = jnp.asarray(im)
         t0 = time.perf_counter()
-        packed = pack_fn(codec.variables, x)
-        jax.block_until_ready(packed)
+        payload, bits = pack_fn(codec.variables, x)
+        jax.block_until_ready((payload, bits))
         t_pack += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        packed = {k: (np.asarray(p), np.asarray(bits))
-                  for k, (p, bits) in packed.items()}
+        payload, bits = np.asarray(payload), np.asarray(bits)
         t_fetch += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        from control_gic_tpu.ops.router import mode_from_ratios
-        from control_gic_tpu.codec import EncodedImage
-        mode = mode_from_ratios(0.1, 0.4)
         encs = [EncodedImage(mode=mode, latent_hw=(64, 64),
                              image_hw=(256, 256),
-                             streams=streams_to_bytes(packed, i))
+                             streams=fused_to_bytes(payload, bits, layout, i))
                 for i in range(B)]
         t_frame += time.perf_counter() - t0
 
         t0 = time.perf_counter()
         rebuilt = [codec._rebuild(e) for e in encs]
+        buf = codec._fused_decode_input(
+            [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
+            [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
         t_rebuild += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        inds = jnp.asarray(np.stack([r[0] for r in rebuilt]), jnp.int32)
-        masks = tuple(
-            jnp.asarray(np.stack([r[1][k] for r in rebuilt]), jnp.int32)
-            for k in range(3))
-        rec = codec._decode_fn(codec.variables, inds, masks)
+        dbuf = jnp.asarray(buf)
+        dbuf.block_until_ready()
+        t_h2d += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        rec = dec_fn(codec.variables, dbuf)
         rec = np.asarray(rec)
         t_dec += time.perf_counter() - t0
 
-    tot = t_pack + t_fetch + t_frame + t_rebuild + t_dec
+    tot = t_pack + t_fetch + t_frame + t_rebuild + t_h2d + t_dec
     n = B * R
     print(f"encode+pack (device, incl dispatch): {t_pack/R*1e3:8.1f} ms/batch")
     print(f"packed-words D2H fetch:              {t_fetch/R*1e3:8.1f} ms/batch")
     print(f"host byte framing:                   {t_frame/R*1e3:8.1f} ms/batch")
     print(f"host receiver rebuild:               {t_rebuild/R*1e3:8.1f} ms/batch")
+    print(f"decode-input H2D (fused single put): {t_h2d/R*1e3:8.1f} ms/batch")
     print(f"decode + H2D/D2H:                    {t_dec/R*1e3:8.1f} ms/batch")
     print(f"TOTAL {tot/R*1e3:8.1f} ms/batch -> {n/tot:6.2f} img/s full codec")
 
