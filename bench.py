@@ -7,17 +7,27 @@ router -> encoder -> VQ -> mask-aware decoder) at 256x256, bf16, batch 8:
    "unit": "img/s", "vs_baseline": ..., "extra": {...}}
 
 "extra" carries the driver's other configs (BASELINE.json):
-  codec256_full_img_s   full codec incl. entropy stage: device-packed
-                        Huffman/bitmap streams -> host bytes -> receiver
-                        rebuild -> device decode, 256x256 batch 8,
-                        software-pipelined (host entropy overlaps device
-                        compute); codec256_serial_img_s is the same loop
-                        unpipelined
+  codec256_full_img_s   full codec incl. entropy stage: uint8 image up ->
+                        device encode + device-packed Huffman/bitmap
+                        streams -> host bytes -> receiver rebuild -> device
+                        decode -> uint8 reconstruction down. uint8 both
+                        ways is the PNG-user pipeline (ToTensor's x/255 and
+                        save_png's clip*255 run on device, identical math);
+                        it matters because this chip hangs off a ~30 MB/s
+                        tunnel, so the wire — not host or device — is the
+                        critical path (tools/codec_breakdown.py). Batch 32
+                        (BENCH_CODEC_BATCH), threaded software pipeline
+                        (upload / entropy stage / download overlap).
+                        codec256_serial_img_s = same uint8 programs, strict
+                        serial; codec256_full_f32_img_s = float32 in/out.
   kodak_img_s           Kodak-shape 768x512 whole-image neural round-trip
+  kodak_full_img_s      full codec (as above, uint8 both ways) at 768x512
   tiled2k_img_s         2K-class images (1536x2304, uniform 768-px tile grid
-                        -> 6 tiles, one batched program) through the full
-                        tiled codec incl. entropy, software-pipelined across
-                        images (parallel/tiling.py compress_tiled_many);
+                        -> 6 tiles) through the full tiled codec incl.
+                        entropy: ONE uint8 image upload, device-side tile
+                        slicing + recon stitching, ONE uint8 download per
+                        image, pipelined across images
+                        (parallel/tiling.py compress_tiled_device);
                         counted in IMAGES (not tiles) per second
   mfu                   measured model FLOPs/s over the chip's peak, from
                         XLA cost analysis (omitted if unavailable)
@@ -72,8 +82,7 @@ def main():
 
     from control_gic_tpu.codec import CGICCodec
     from control_gic_tpu.models import CGIC, CGICConfig
-    from control_gic_tpu.parallel.tiling import (compress_tiled,
-                                                 compress_tiled_many)
+    from control_gic_tpu.parallel.tiling import compress_tiled_device
 
     on_tpu = jax.default_backend() not in ("cpu",)
     batch = int(os.environ.get("BENCH_BATCH", "8" if on_tpu else "1"))
@@ -81,7 +90,7 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "3300"))
     configs = os.environ.get(
         "BENCH_CONFIGS",
-        "rt256,codec256,codec256_u8,kodak,kodak_full,tiled2k"
+        "rt256,codec256,codec256_f32,kodak,kodak_full,tiled2k"
         if on_tpu else "rt256").split(",")
     t_start = _now()
 
@@ -148,6 +157,12 @@ def main():
             break
 
     # ---------------------------------- full codec incl. entropy stage
+    cbatch = int(os.environ.get("BENCH_CODEC_BATCH", "32" if on_tpu else "2"))
+
+    def u8_imgs(shape, n):
+        return [(np.asarray(rand_imgs(shape)) * 255).astype(np.uint8)
+                for _ in range(n)]
+
     def run_codec256():
         counts = np.maximum(
             rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
@@ -155,26 +170,24 @@ def main():
         n = max(2, iters // 2)
         # fresh inputs per measurement (the axon runtime dedupes repeated
         # identical executions, see the methodology note above)
-        imgs_s = [np.asarray(rand_imgs((batch, 256, 256, 3)))
-                  for _ in range(n)]
-        imgs_p = [np.asarray(rand_imgs((batch, 256, 256, 3)))
-                  for _ in range(n)]
+        imgs_s = u8_imgs((cbatch, 256, 256, 3), n)
+        imgs_p = u8_imgs((cbatch, 256, 256, 3), n)
         # warmup compiles both programs
         encs = codec.encode_batch(imgs_s[0], 0.1, 0.4, device_pack=True)
-        codec.decode_batch(encs)
-        # serial: host entropy stage sits in the device's critical path
+        codec.decode_batch(encs, out_uint8=True)
+        # serial: wire legs + entropy stage sit in the critical path
         t0 = _now()
         for im in imgs_s:
             encs = codec.encode_batch(im, 0.1, 0.4, device_pack=True)
-            rec = codec.decode_batch(encs)
-        serial = batch * n / (_now() - t0)
+            rec = codec.decode_batch(encs, out_uint8=True)
+        serial = cbatch * n / (_now() - t0)
         rec.sum()  # numpy already — host sync happened per decode
-        # pipelined: batch i's entropy stage overlaps batch i+1's encode
+        # pipelined: threaded upload/entropy/download overlap
         # (codec.roundtrip_pipelined; same compiled programs, same bytes)
         t0 = _now()
         recs, _ = codec.roundtrip_pipelined(imgs_p, 0.1, 0.4,
-                                            device_pack=True)
-        pipelined = batch * n / (_now() - t0)
+                                            device_pack=True, out_uint8=True)
+        pipelined = cbatch * n / (_now() - t0)
         recs[-1].sum()
         return pipelined, serial, codec
 
@@ -188,6 +201,7 @@ def main():
                 val, serial, codec = run_codec256()
                 extra["codec256_full_img_s"] = round(val, 3)
                 extra["codec256_serial_img_s"] = round(serial, 3)
+                extra["codec256_batch"] = cbatch
             elif name == "kodak":
                 kb = int(os.environ.get("BENCH_KODAK_BATCH", batch))
                 kfn = roundtrip_scan_fn((512, 768))
@@ -199,41 +213,42 @@ def main():
                 extra["kodak_img_s"] = round(kb * 2 / (_now() - t0), 3)
             elif name == "kodak_full":
                 # full codec (entropy stage + file-equivalent framing) at
-                # the Kodak shape — BASELINE.json's named config
+                # the Kodak shape — BASELINE.json's named config; uint8
+                # both ways like codec256 (see docstring)
                 if codec is None:
                     counts = np.maximum(
                         rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
                     codec = CGICCodec(model, variables, counts)
                 kb = int(os.environ.get("BENCH_KODAK_BATCH", batch))
-                nkf = 3
-                imgs_k = [np.asarray(rand_imgs((kb, 512, 768, 3)))
-                          for _ in range(nkf)]
+                nkf = 4
+                imgs_k = u8_imgs((kb, 512, 768, 3), nkf)
                 codec.roundtrip_pipelined(imgs_k[:1], 0.1, 0.4,
-                                          device_pack=True)  # warm compile
+                                          device_pack=True,
+                                          out_uint8=True)  # warm compile
                 t0 = _now()
                 recs, encs = codec.roundtrip_pipelined(
-                    imgs_k, 0.1, 0.4, device_pack=True)
+                    imgs_k, 0.1, 0.4, device_pack=True, out_uint8=True)
                 extra["kodak_full_img_s"] = round(
                     kb * nkf / (_now() - t0), 3)
                 extra["kodak_bpp"] = round(
                     float(np.mean([e.bpp for b in encs for e in b])), 4)
-            elif name == "codec256_u8":
-                # same full codec but uint8 H2D images + uint8 D2H recon
-                # (the bytes a PNG-writing user actually moves)
+            elif name == "codec256_f32":
+                # float32 in/out variant of codec256 (4x wire bytes): the
+                # number for callers that keep float tensors host-side
                 if codec is None:
                     counts = np.maximum(
                         rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
                     codec = CGICCodec(model, variables, counts)
-                n8 = max(2, iters // 2)
-                imgs8 = [(np.asarray(rand_imgs((batch, 256, 256, 3)))
-                          * 255).astype(np.uint8) for _ in range(n8)]
-                codec.roundtrip_pipelined(imgs8[:1], 0.1, 0.4,
-                                          device_pack=True, out_uint8=True)
+                nf32 = max(2, iters // 2)
+                imgsf = [np.asarray(rand_imgs((cbatch, 256, 256, 3)))
+                         for _ in range(nf32)]
+                codec.roundtrip_pipelined(imgsf[:1], 0.1, 0.4,
+                                          device_pack=True)
                 t0 = _now()
-                codec.roundtrip_pipelined(imgs8, 0.1, 0.4,
-                                          device_pack=True, out_uint8=True)
-                extra["codec256_full_u8_img_s"] = round(
-                    batch * n8 / (_now() - t0), 3)
+                codec.roundtrip_pipelined(imgsf, 0.1, 0.4,
+                                          device_pack=True)
+                extra["codec256_full_f32_img_s"] = round(
+                    cbatch * nf32 / (_now() - t0), 3)
             elif name == "tiled2k":
                 if codec is None:
                     counts = np.maximum(
@@ -241,14 +256,11 @@ def main():
                     codec = CGICCodec(model, variables, counts)
                 th, tw = (int(v) for v in os.environ.get(
                     "BENCH_TILED_HW", "1536x2304").split("x"))
-                img = np.asarray(rand_imgs((th, tw, 3)))
-                compress_tiled(codec, img, 0.1, 0.4, device_pack=True)
-                n2k = 3
-                imgs2k = [np.asarray(rand_imgs((th, tw, 3)))
-                          for _ in range(n2k)]
+                n2k = 4
+                imgs2k = [im[0] for im in u8_imgs((1, th, tw, 3), n2k)]
+                compress_tiled_device(codec, imgs2k[:1], 0.1, 0.4)  # warm
                 t0 = _now()
-                results = compress_tiled_many(codec, imgs2k, 0.1, 0.4,
-                                              device_pack=True)
+                results = compress_tiled_device(codec, imgs2k, 0.1, 0.4)
                 extra["tiled2k_img_s"] = round(n2k / (_now() - t0), 3)
                 extra["tiled2k_bpp"] = round(results[-1][1], 4)
         except Exception as e:  # record, never lose the headline line

@@ -74,7 +74,7 @@ class _PendingEncode:
     latent_hw: Tuple[int, int]
     image_hw: Tuple[int, int]
     n: int
-    packed: Optional[Tuple] = None   # device_pack: (payload, bits) fused
+    packed: Optional[object] = None  # device_pack: fused payload buffer
     enc: Optional[object] = None     # raw EncodeOutput (indices + router)
 
 
@@ -138,6 +138,20 @@ class CGICCodec:
             lambda v, idx, masks: self.model.apply(
                 v, idx, masks, method=CGIC.decode_indices))
 
+    @staticmethod
+    def _split_decode_buf(buf: jnp.ndarray, hl: int, wl: int):
+        """Unpack the fused receiver buffer [B, ind | m_c | m_m | m_f]
+        (flattened int32) into the decode_indices arguments."""
+        nf = hl * wl
+        nc = (hl // 4) * (wl // 4)
+        nm = (hl // 2) * (wl // 2)
+        b = buf.shape[0]
+        ind = buf[:, :nf].reshape(b, hl, wl)
+        m_c = buf[:, nf:nf + nc].reshape(b, hl // 4, wl // 4)
+        m_m = buf[:, nf + nc:nf + nc + nm].reshape(b, hl // 2, wl // 2)
+        m_f = buf[:, nf + nc + nm:].reshape(b, hl, wl)
+        return ind, (m_c, m_m, m_f)
+
     def _decode_fused_fn(self, hl: int, wl: int, out_uint8: bool):
         """Receiver decode taking ONE fused int32 buffer per batch
         ([B, ind | m_c | m_m | m_f] flattened) — a single H2D transfer
@@ -147,18 +161,9 @@ class CGICCodec:
         the recon D2H fetch 4x."""
         key = (hl, wl, out_uint8)
         if key not in self._decode_fns:
-            nf = hl * wl
-            nc = (hl // 4) * (wl // 4)
-            nm = (hl // 2) * (wl // 2)
-
             def fn(v, buf):
-                b = buf.shape[0]
-                ind = buf[:, :nf].reshape(b, hl, wl)
-                m_c = buf[:, nf:nf + nc].reshape(b, hl // 4, wl // 4)
-                m_m = buf[:, nf + nc:nf + nc + nm].reshape(b, hl // 2,
-                                                           wl // 2)
-                m_f = buf[:, nf + nc + nm:].reshape(b, hl, wl)
-                rec = self.model.apply(v, ind, (m_c, m_m, m_f),
+                ind, masks = self._split_decode_buf(buf, hl, wl)
+                rec = self.model.apply(v, ind, masks,
                                        method=CGIC.decode_indices)
                 if out_uint8:
                     rec = (jnp.clip(rec, 0.0, 1.0) * 255).astype(jnp.uint8)
@@ -205,11 +210,11 @@ class CGICCodec:
     def _encode_pack_fn(self, rc: float, rm: float, per_sample: bool):
         """One jitted program: neural encode + on-device stream packing.
 
-        The host receives ONE fused payload buffer + ONE bits array for the
-        whole batch (coding/stream_pack.py::fuse_packed) instead of the
-        index/mask grids — two D2H fetches per batch total; each separate
-        fetch pays a full tunnel round-trip, which dominated the round-2
-        host stage."""
+        The host receives ONE fused payload buffer (payload words +
+        per-stream bit counts, coding/stream_pack.py::fuse_packed) for the
+        whole batch instead of the index/mask grids — a single D2H fetch
+        per batch; each separate fetch pays a full tunnel round-trip,
+        which dominated the round-2 host stage."""
         assert self._device_tables is not None
         key = (rc, rm, per_sample)
         if key not in self._encode_pack_fns:
@@ -237,14 +242,13 @@ class CGICCodec:
     def _encode_packed(self, images: jnp.ndarray, rc: float, rm: float,
                        per_sample: bool) -> List[EncodedImage]:
         n, h, w, _ = images.shape
-        payload, bits = self._encode_pack_fn(rc, rm, per_sample)(
-            self.variables, images)
-        payload, bits = np.asarray(payload), np.asarray(bits)
+        buf = np.asarray(self._encode_pack_fn(rc, rm, per_sample)(
+            self.variables, images))
         mode = mode_from_ratios(rc, rm)
         layout = self._pack_layout(mode, h // 4, w // 4)
         return [EncodedImage(mode=mode, latent_hw=(h // 4, w // 4),
                              image_hw=(h, w),
-                             streams=fused_to_bytes(payload, bits, layout, i))
+                             streams=fused_to_bytes(buf, layout, i))
                 for i in range(n)]
 
     def streams_from_arrays(self, ind: np.ndarray, m_c: np.ndarray,
@@ -461,14 +465,12 @@ class CGICCodec:
         """Fetch a pending encode's device arrays and frame the bitstreams
         (the host entropy stage). Blocks until the device work is done."""
         if pending.packed is not None:
-            payload, bits = pending.packed
-            payload, bits = np.asarray(payload), np.asarray(bits)
+            buf = np.asarray(pending.packed)
             layout = self._pack_layout(pending.mode, *pending.latent_hw)
             return [EncodedImage(mode=pending.mode,
                                  latent_hw=pending.latent_hw,
                                  image_hw=pending.image_hw,
-                                 streams=fused_to_bytes(payload, bits,
-                                                        layout, i))
+                                 streams=fused_to_bytes(buf, layout, i))
                     for i in range(pending.n)]
         enc = pending.enc
         ind = np.asarray(enc.indices)
@@ -498,7 +500,8 @@ class CGICCodec:
     def roundtrip_pipelined(self, batches, coarse_ratio: float,
                             medium_ratio: float, *,
                             device_pack: bool = False,
-                            out_uint8: bool = False
+                            out_uint8: bool = False,
+                            threads: Optional[bool] = None
                             ) -> Tuple[List[np.ndarray],
                                        List[List[EncodedImage]]]:
         """Software-pipelined full codec over a sequence of same-shape image
@@ -508,8 +511,25 @@ class CGICCodec:
         identical to calling encode_batch/decode_batch per batch (pinned by
         test_codec); only the schedule differs.
 
+        threads=None: auto (threaded on accelerator backends). The threaded
+        schedule runs the three wire legs — H2D image upload, D2H packed
+        words + host entropy stage, D2H reconstruction fetch — on separate
+        threads with bounded hand-off queues, so upload, device compute and
+        the two download streams overlap. On a remote-tunnel-attached chip
+        (~30 MB/s, ~25 ms/round-trip) the wire IS the critical path and
+        this overlap is the difference between serial and full-duplex
+        throughput.
+
         Returns (reconstructions per batch, bundles per batch)."""
+        import jax as _jax
         batches = list(batches)
+        if threads is None:
+            threads = _jax.default_backend() != "cpu"
+        if threads and len(batches) > 1:
+            return self._roundtrip_threaded(batches, coarse_ratio,
+                                            medium_ratio,
+                                            device_pack=device_pack,
+                                            out_uint8=out_uint8)
         recs: List[np.ndarray] = []
         encs_all: List[List[EncodedImage]] = []
         pend_d = None
@@ -530,6 +550,75 @@ class CGICCodec:
             pend_e = nxt
         if pend_d is not None:
             recs.append(np.asarray(pend_d))
+        return recs, encs_all
+
+    def _roundtrip_threaded(self, batches, coarse_ratio: float,
+                            medium_ratio: float, *, device_pack: bool,
+                            out_uint8: bool):
+        """Three-thread pipeline (see roundtrip_pipelined): main thread
+        uploads+dispatches encodes, worker B fetches packed words / runs the
+        host entropy stage / dispatches decodes, worker C fetches
+        reconstructions. Queues are bounded so at most ~2 batches per stage
+        are in flight (backpressure bounds device memory)."""
+        import queue
+        import threading
+
+        n = len(batches)
+        recs: List[Optional[np.ndarray]] = [None] * n
+        encs_all: List[Optional[List[EncodedImage]]] = [None] * n
+        qa: "queue.Queue" = queue.Queue(maxsize=2)
+        qb: "queue.Queue" = queue.Queue(maxsize=2)
+        errors: List[BaseException] = []
+
+        # Workers record the first error and keep draining their queues so
+        # no producer ever blocks on a full queue against a dead consumer.
+        def worker_b():
+            while True:
+                item = qa.get()
+                if item is None:
+                    qb.put(None)
+                    return
+                if errors:
+                    continue
+                i, pend = item
+                try:
+                    encs = self.encode_finish(pend)
+                    rec_dev = self.decode_batch_async(encs,
+                                                      out_uint8=out_uint8)
+                    qb.put((i, encs, rec_dev))
+                except BaseException as e:  # propagate to main
+                    errors.append(e)
+
+        def worker_c():
+            while True:
+                item = qb.get()
+                if item is None:
+                    return
+                if errors:
+                    continue
+                i, encs, rec_dev = item
+                try:
+                    encs_all[i] = encs
+                    recs[i] = np.asarray(rec_dev)
+                except BaseException as e:
+                    errors.append(e)
+
+        tb = threading.Thread(target=worker_b, daemon=True)
+        tc = threading.Thread(target=worker_c, daemon=True)
+        tb.start()
+        tc.start()
+        for i in range(n):
+            if errors:
+                break
+            pend = self.encode_batch_async(batches[i], coarse_ratio,
+                                           medium_ratio,
+                                           device_pack=device_pack)
+            qa.put((i, pend))
+        qa.put(None)
+        tb.join()
+        tc.join()
+        if errors:
+            raise errors[0]
         return recs, encs_all
 
     # ------------------------------------------------------------ round-trip

@@ -163,20 +163,22 @@ def fused_layout(mode: int, hl: int, wl: int, max_code_len: int):
 
 
 def fuse_packed(packed: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
-                mode: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Concatenate pack_streams_batch output into ONE payload buffer
-    [B, total_words] uint32 + ONE bits array [B, n_streams] int32, so the
-    host needs exactly two D2H fetches per batch instead of two per stream
-    (each fetch pays a full tunnel round-trip)."""
+                mode: int) -> jnp.ndarray:
+    """Concatenate pack_streams_batch output into ONE uint32 buffer
+    [B, total_words + n_streams]: every stream's payload words, then one
+    tail word per stream holding its total bit count. The host needs
+    exactly ONE D2H fetch per batch (each fetch pays a full tunnel
+    round-trip, which dominates on a remote-attached chip)."""
     names = [n for n in _MODE_STREAMS[mode]]
-    payload = jnp.concatenate([packed[n][0] for n in names], axis=-1)
-    bits = jnp.stack([packed[n][1] for n in names], axis=-1)
-    return payload, bits
+    bits = jnp.stack([packed[n][1].astype(jnp.uint32) for n in names],
+                     axis=-1)
+    return jnp.concatenate([packed[n][0] for n in names] + [bits], axis=-1)
 
 
-def fused_to_bytes(payload: np.ndarray, bits: np.ndarray, layout,
-                   i: int) -> Dict[str, bytes]:
-    """Frame image i's streams from the fetched fused buffers."""
-    return {name: frame_from_words(payload[i, off:off + nw],
-                                   int(bits[i, k]))
+def fused_to_bytes(buf: np.ndarray, layout, i: int) -> Dict[str, bytes]:
+    """Frame image i's streams from the fetched fused buffer (payload
+    words + per-stream bit-count tail, see fuse_packed)."""
+    total = layout[-1][1] + layout[-1][2]
+    return {name: frame_from_words(buf[i, off:off + nw],
+                                   int(buf[i, total + k]))
             for k, (name, off, nw) in enumerate(layout)}

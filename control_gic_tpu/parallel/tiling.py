@@ -149,6 +149,236 @@ def compress_tiled(codec: CGICCodec, image: np.ndarray, coarse_ratio: float,
     return recon, bpp, [b for b in bundles if b is not None]
 
 
+def _tile_fns(codec: CGICCodec) -> dict:
+    cache = getattr(codec, "_tile_fns", None)
+    if cache is None:
+        cache = {}
+        codec._tile_fns = cache
+    return cache
+
+
+def _encode_tiles_fn(codec: CGICCodec, rc: float, rm: float,
+                     offsets: tuple, th: int, tw: int):
+    """Jitted: whole padded image [H, W, 3] (uint8 or float) -> fused
+    packed-stream buffer for the batch of tiles at `offsets`. The tiles
+    are sliced ON DEVICE, so the image crosses the wire once per image
+    instead of once per tile batch."""
+    import jax
+    import jax.numpy as jnp
+
+    key = ("enc", rc, rm, offsets, th, tw)
+    cache = _tile_fns(codec)
+    if key not in cache:
+        from ..coding.stream_pack import fuse_packed, pack_streams_batch
+        from ..models.cgic import CGIC
+        from ..ops.router import mode_from_ratios
+
+        lens, words = codec._device_tables
+        max_code_len = int(lens.max()) if lens.size else 1
+        mode = mode_from_ratios(rc, rm)
+
+        def fn(v, image):
+            tiles = jnp.stack([image[y:y + th, x:x + tw] for y, x in offsets])
+            enc = codec.model.apply(v, codec._to_float(tiles), rc, rm,
+                                    per_sample=True, method=CGIC.encode)
+            packed = pack_streams_batch(enc.indices, enc.router.masks,
+                                        enc.router.mode, lens, words,
+                                        max_code_len)
+            return fuse_packed(packed, mode)
+
+        cache[key] = jax.jit(fn)
+    return cache[key]
+
+
+def _decode_stitch_fn(codec: CGICCodec, offsets: tuple, th: int, tw: int,
+                      out_uint8: bool):
+    """Jitted: (canvas [H, W, 3], fused receiver buffer) -> canvas with the
+    decoded tiles written at `offsets`. The canvas stays on device across
+    tile groups (donated), so the reconstruction crosses the wire once per
+    image."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.cgic import CGIC
+
+    key = ("dec", offsets, th, tw, out_uint8)
+    cache = _tile_fns(codec)
+    if key not in cache:
+        hl, wl = th // 4, tw // 4
+
+        def fn(v, canvas, buf):
+            ind, masks = codec._split_decode_buf(buf, hl, wl)
+            rec = codec.model.apply(v, ind, masks,
+                                    method=CGIC.decode_indices)
+            if out_uint8:
+                rec = (jnp.clip(rec, 0.0, 1.0) * 255).astype(jnp.uint8)
+            else:
+                rec = rec.astype(canvas.dtype)
+            for j, (y, x) in enumerate(offsets):
+                canvas = jax.lax.dynamic_update_slice(canvas, rec[j],
+                                                      (y, x, 0))
+            return canvas
+
+        donate = (1,) if jax.default_backend() != "cpu" else ()
+        cache[key] = jax.jit(fn, donate_argnums=donate)
+    return cache[key]
+
+
+def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
+                          medium_ratio: float, tile: int = 768,
+                          out_uint8: bool = True, threads: bool = True
+                          ) -> List[Tuple[np.ndarray, float,
+                                          List[EncodedImage]]]:
+    """Wire-minimal tiled codec over a sequence of images.
+
+    Per image, exactly TWO large transfers cross the host<->device link —
+    the (uint8) source image up, the (uint8) stitched reconstruction down —
+    plus the few-KB packed entropy streams. Tile slicing and reconstruction
+    stitching happen on device; the host only runs the entropy stage. A
+    remote-attached chip (~30 MB/s tunnel) makes this the difference
+    between wire-bound and compute-bound: the float path of
+    compress_tiled_many moves 8x the bytes (f32 both ways) through
+    per-tile-group transfers.
+
+    Streams/bpp are identical to compress_tiled(overlap=0) (pinned by
+    test_tiling); the reconstruction differs only by the uint8 PNG
+    quantization (clip -> *255 -> trunc, same as cli.common.save_png) when
+    out_uint8=True.
+
+    Returns [(reconstruction, bpp, bundles), ...] in input order.
+    """
+    import queue
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.router import mode_from_ratios
+
+    images = list(images)
+    n = len(images)
+    mode = mode_from_ratios(coarse_ratio, medium_ratio)
+    out: List[Optional[Tuple]] = [None] * n
+    errors: List[BaseException] = []
+
+    # ---- plan: per image padding + shape-grouped tile offsets (tile index
+    # kept so bundles come back in reference grid order)
+    plans = []
+    for image in images:
+        h0, w0, _ = image.shape
+        (pl, pr, pt, pb), _ = compute_padding(h0, w0)
+        tiles = tile_grid(h0 + pt + pb, w0 + pl + pr, tile)
+        groups: Dict[Tuple[int, int],
+                     List[Tuple[int, int, int]]] = defaultdict(list)
+        for t, (y, x, th, tw) in enumerate(tiles):
+            groups[(th, tw)].append((t, y, x))
+        plans.append(((pt, pb, pl, pr), h0, w0, dict(groups), len(tiles)))
+
+    def pad_host(i):
+        (pt, pb, pl, pr), _, _, _, _ = plans[i]
+        return np.pad(images[i], ((pt, pb), (pl, pr), (0, 0)))
+
+    def stage_a(i):
+        """H2D image once; dispatch every tile group's encode+pack."""
+        _, _, _, groups, _ = plans[i]
+        img_dev = jnp.asarray(pad_host(i))
+        bufs = []
+        for (th, tw), tyx in groups.items():
+            offs = tuple((y, x) for _, y, x in tyx)
+            fn = _encode_tiles_fn(codec, float(coarse_ratio),
+                                  float(medium_ratio), offs, th, tw)
+            bufs.append(((th, tw), tyx, offs,
+                         fn(codec.variables, img_dev)))
+        return img_dev, bufs
+
+    def stage_b(i, item):
+        """Fetch packed words, host entropy stage, dispatch decode+stitch."""
+        from ..coding.stream_pack import fused_to_bytes
+
+        img_dev, bufs = item
+        (pt, pb, pl, pr), h0, w0, groups, n_tiles = plans[i]
+        h, w = h0 + pt + pb, w0 + pl + pr
+        dt = jnp.uint8 if out_uint8 else jnp.float32
+        canvas = jnp.zeros((h, w, 3), dt)
+        bundles: List[Optional[EncodedImage]] = [None] * n_tiles
+        for (th, tw), tyx, offs, buf in bufs:
+            buf = np.asarray(buf)
+            layout = codec._pack_layout(mode, th // 4, tw // 4)
+            encs = [EncodedImage(mode=mode, latent_hw=(th // 4, tw // 4),
+                                 image_hw=(th, tw),
+                                 streams=fused_to_bytes(buf, layout, j))
+                    for j in range(len(offs))]
+            for (t, _, _), e in zip(tyx, encs):
+                bundles[t] = e
+            rebuilt = [codec._rebuild(e) for e in encs]
+            dec_in = codec._fused_decode_input(
+                [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
+                [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
+            fn = _decode_stitch_fn(codec, offs, th, tw, out_uint8)
+            canvas = fn(codec.variables, canvas, jnp.asarray(dec_in))
+        return bundles, canvas
+
+    def stage_c(i, bundles, canvas):
+        """Fetch the stitched reconstruction, unpad, account bpp."""
+        (pt, pb, pl, pr), h0, w0, _, _ = plans[i]
+        rec = np.asarray(canvas)
+        h, w = rec.shape[:2]
+        rec = rec[pt:h - pb if pb else h, pl:w - pr if pr else w]
+        bits = sum(e.num_bytes * 8 for e in bundles)
+        out[i] = (rec, bits / (h0 * w0), bundles)
+
+    if not threads or n == 1:
+        for i in range(n):
+            bundles, canvas = stage_b(i, stage_a(i))
+            stage_c(i, bundles, canvas)
+        return [o for o in out]
+
+    qa: "queue.Queue" = queue.Queue(maxsize=1)
+    qb: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def worker_b():
+        while True:
+            item = qa.get()
+            if item is None:
+                qb.put(None)
+                return
+            if errors:
+                continue
+            i, a = item
+            try:
+                bundles, canvas = stage_b(i, a)
+                qb.put((i, bundles, canvas))
+            except BaseException as e:
+                errors.append(e)
+
+    def worker_c():
+        while True:
+            item = qb.get()
+            if item is None:
+                return
+            if errors:
+                continue
+            try:
+                stage_c(*item)
+            except BaseException as e:
+                errors.append(e)
+
+    tb = threading.Thread(target=worker_b, daemon=True)
+    tc = threading.Thread(target=worker_c, daemon=True)
+    tb.start()
+    tc.start()
+    for i in range(n):
+        if errors:
+            break
+        qa.put((i, stage_a(i)))
+    qa.put(None)
+    tb.join()
+    tc.join()
+    if errors:
+        raise errors[0]
+    return [o for o in out]
+
+
 def compress_tiled_many(codec: CGICCodec, images, coarse_ratio: float,
                         medium_ratio: float, tile: int = 768,
                         mesh=None, device_pack: bool = False

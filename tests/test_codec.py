@@ -104,6 +104,21 @@ def test_roundtrip_pipelined_empty(codec):
     assert recs == [] and encs == []
 
 
+def test_roundtrip_threaded_matches_serial(codec, rng_module):
+    """The threaded three-stage pipeline (auto-on for accelerator backends;
+    forced here on CPU) is byte- and pixel-identical to the serial path."""
+    batches = [rng_module.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+               for _ in range(4)]
+    recs_t, encs_t = codec.roundtrip_pipelined(
+        batches, 0.1, 0.4, device_pack=True, threads=True)
+    assert len(recs_t) == len(encs_t) == len(batches)
+    for b, rec_t, enc_t in zip(batches, recs_t, encs_t):
+        encs_s = codec.encode_batch(b, 0.1, 0.4, device_pack=True)
+        rec_s = codec.decode_batch(encs_s)
+        assert [e.streams for e in encs_s] == [e.streams for e in enc_t]
+        np.testing.assert_allclose(np.asarray(rec_t), rec_s, atol=1e-6)
+
+
 def test_uint8_input_matches_float(codec, rng_module):
     """uint8 H2D path: on-device x/255 is bit-identical to host float/255
     (same single-rounding conversion ToTensor performs)."""

@@ -105,6 +105,43 @@ def test_tiled_many_matches_per_image(rng):
         np.testing.assert_allclose(rec_m, rec_1, atol=1e-5, rtol=1e-5)
 
 
+def test_tiled_device_matches_tiled(rng):
+    """compress_tiled_device (device-side slicing + stitching, threaded,
+    wire-minimal) emits byte-identical streams/bpp to compress_tiled and a
+    reconstruction equal up to the uint8 PNG quantization."""
+    from control_gic_tpu.codec import CGICCodec
+    from control_gic_tpu.parallel.tiling import (compress_tiled,
+                                                 compress_tiled_device)
+
+    model = CGIC(TINY)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), 0.1, 0.4)
+    codec = CGICCodec(model, variables, np.ones(TINY.n_embed, np.int64))
+    images = [rng.uniform(0, 1, (128, 96, 3)).astype(np.float32),
+              rng.uniform(0, 1, (100, 130, 3)).astype(np.float32)]
+
+    dev = compress_tiled_device(codec, images, 0.1, 0.4, tile=64,
+                                out_uint8=False, threads=True)
+    assert len(dev) == len(images)
+    for img, (rec_d, bpp_d, bundles_d) in zip(images, dev):
+        rec_1, bpp_1, bundles_1 = compress_tiled(codec, img, 0.1, 0.4,
+                                                 tile=64, device_pack=True)
+        assert rec_d.shape == img.shape
+        assert bpp_d == pytest.approx(bpp_1)
+        assert [b.streams for b in bundles_d] == \
+            [b.streams for b in bundles_1]
+        np.testing.assert_allclose(rec_d, rec_1, atol=1e-5, rtol=1e-5)
+
+    # uint8 output mode: quantized exactly like cli.common.save_png
+    dev8 = compress_tiled_device(codec, images[:1], 0.1, 0.4, tile=64,
+                                 out_uint8=True, threads=False)
+    rec8 = dev8[0][0]
+    assert rec8.dtype == np.uint8
+    want = (np.clip(dev[0][0], 0.0, 1.0) * 255).astype(np.uint8)
+    diff = np.abs(rec8.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+
 def test_data_parallel_train_step_runs(rng):
     """One fused train step over the 8-device mesh: state advances, metrics
     finite, codebook counters accumulate the global batch."""

@@ -76,18 +76,18 @@ def main():
     for im in imgs:
         x = jnp.asarray(im)
         t0 = time.perf_counter()
-        payload, bits = pack_fn(codec.variables, x)
-        jax.block_until_ready((payload, bits))
+        buf = pack_fn(codec.variables, x)
+        jax.block_until_ready(buf)
         t_pack += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        payload, bits = np.asarray(payload), np.asarray(bits)
+        buf = np.asarray(buf)
         t_fetch += time.perf_counter() - t0
 
         t0 = time.perf_counter()
         encs = [EncodedImage(mode=mode, latent_hw=(64, 64),
                              image_hw=(256, 256),
-                             streams=fused_to_bytes(payload, bits, layout, i))
+                             streams=fused_to_bytes(buf, layout, i))
                 for i in range(B)]
         t_frame += time.perf_counter() - t0
 

@@ -38,10 +38,8 @@ ATTN = RES // 8  # attn at 1/8 resolution, like the reference's 32 @ 256
 def main():
     import jax
     jax.config.update("jax_platforms", "cpu")   # parity runs on CPU only
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/jax_cache_cpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from control_gic_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache("cpu")
 
     import torch
     torch.manual_seed(0)

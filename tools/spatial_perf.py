@@ -15,10 +15,16 @@ global routing budget vs per-tile budgets). Results go into the
 DESIGN.md "when to use which" table (VERDICT round-1 item 7).
 
 python tools/spatial_perf.py
-  env: SP_CH=32 SP_HW=512x768 SP_TILE=256 SP_REPS=1
+  env: SP_CH=32 SP_HW=512x768 SP_TILE=256 SP_REPS=1 SP_BACKEND=cpu
 Defaults are sized for this 2-CPU box (a 768-px-tile 2K sweep at ch=32
 measured >1000 s/rep here — virtual devices share 2 cores); on real
 hardware raise SP_HW/SP_TILE to the production geometry (tile 768).
+
+SP_BACKEND=tpu runs on the attached real chip instead (mesh of however
+many TPU devices exist — 1 here, so the collectives are trivial but the
+spatial program itself, flash attention included, is the real one): the
+honest TPU-side tiled-vs-spatial number VERDICT r2 item 8 asks for, at
+e.g. SP_CH=128 SP_HW=1024x1536 SP_TILE=768.
 """
 import os
 import sys
@@ -31,12 +37,12 @@ import numpy as np
 
 def main():
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/jax_cache_cpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    backend = os.environ.get("SP_BACKEND", "cpu")
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    from control_gic_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
 
     import jax.numpy as jnp
     from control_gic_tpu.codec import CGICCodec
@@ -51,14 +57,18 @@ def main():
     reps = int(os.environ.get("SP_REPS", "1"))
 
     cfg = CGICConfig(ch=ch, ch_mult=(1, 2, 2, 4, 4), num_res_blocks=2,
-                     attn_resolutions=(32,), resolution=256)
+                     attn_resolutions=(32,), resolution=256,
+                     dtype=os.environ.get(
+                         "SP_DTYPE",
+                         "float32" if backend == "cpu" else "bfloat16"))
     model = CGIC(cfg)
     rng = np.random.default_rng(0)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)), 0.1, 0.4)
     counts = np.maximum(rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
     codec = CGICCodec(model, variables, counts)
-    mesh = make_mesh(8)
+    n_dev = 8 if backend == "cpu" else jax.device_count()
+    mesh = make_mesh(n_dev)
 
     img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
 
@@ -72,7 +82,7 @@ def main():
         return rec, bpp, dt
 
     print(f"model ch={ch}, image {h}x{w}, tile {tile}, "
-          f"mesh 8 virtual CPU devices")
+          f"mesh {n_dev} {backend} device(s)")
     rec_t, bpp_t, dt_t = timed(
         lambda: compress_tiled(codec, img, 0.1, 0.4, tile=tile, mesh=mesh,
                                device_pack=False), "tiled (batched, sharded)")
