@@ -13,14 +13,11 @@ from ..models import CGIC, CGICConfig
 
 
 def enable_compilation_cache():
-    # per-backend cache dir: entries AOT-compiled for one machine/backend
-    # must not be loaded by another (SIGILL risk / loud warnings)
-    backend = jax.default_backend()
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     os.path.expanduser(
-                                         f"~/.cache/jax_cache_{backend}")))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # per-backend AND machine-keyed cache dir (utils/cache.py): entries
+    # AOT-compiled for one machine/backend must not be loaded by another
+    # (SIGILL risk / loud cpu_aot_loader warnings on every lookup)
+    from ..utils.cache import setup_compilation_cache
+    setup_compilation_cache()
 
 
 def build_codec(ckpt: Optional[str] = None,

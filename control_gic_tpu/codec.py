@@ -585,6 +585,10 @@ class CGICCodec:
                     encs = self.encode_finish(pend)
                     rec_dev = self.decode_batch_async(encs,
                                                       out_uint8=out_uint8)
+                    try:  # start the D2H as soon as the decode finishes
+                        rec_dev.copy_to_host_async()
+                    except AttributeError:
+                        pass
                     qb.put((i, encs, rec_dev))
                 except BaseException as e:  # propagate to main
                     errors.append(e)

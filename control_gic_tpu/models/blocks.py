@@ -26,8 +26,7 @@ from flax import linen as nn
 
 from ..ops.attention import attention
 from ..ops.fused_norm import spatial_norm
-from ..ops.norm_conv import (admissible as _norm_conv_admissible,
-                             group_norm_conv, norm_conv_enabled,
+from ..ops.norm_conv import (group_norm_conv, norm_conv_worthwhile,
                              spatial_norm_conv)
 from ..ops.resample import (nearest_resize, subpixel_enabled,
                             upsample2_conv3x3, upsample_nearest)
@@ -162,10 +161,9 @@ class ResnetBlock(nn.Module):
         # kernel per norm->conv pair instead of ~4 HBM round trips.
         # SpatialNorm+conv for decoder blocks (zq conditioning), plain
         # GroupNorm+conv for encoder blocks.
-        fusible = (norm_conv_enabled()
-                   and (self.dropout == 0.0 or deterministic)
-                   and _norm_conv_admissible(x.shape, out_ch)
-                   and _norm_conv_admissible(x.shape[:3] + (out_ch,), out_ch))
+        fusible = ((self.dropout == 0.0 or deterministic)
+                   and norm_conv_worthwhile(x.shape, out_ch)
+                   and norm_conv_worthwhile(x.shape[:3] + (out_ch,), out_ch))
         fuse = self.zq_cond and zq is not None and fusible
         fuse_plain = (not self.zq_cond) and fusible
         if fuse:

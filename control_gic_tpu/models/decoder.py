@@ -21,8 +21,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.norm_conv import (admissible as _norm_conv_admissible,
-                             norm_conv_enabled, spatial_norm_conv)
+from ..ops.norm_conv import norm_conv_worthwhile, spatial_norm_conv
 from ..ops.resample import avg_pool, upsample_nearest
 from .blocks import (AttnBlock, ResnetBlock, SpatialNorm, Upsample,
                      _Conv3x3Params)
@@ -123,8 +122,7 @@ class Decoder(nn.Module):
                 h = Upsample(dtype=self.dtype,
                              name=f"up_{i_level}_upsample")(h)
 
-        if norm_conv_enabled() and _norm_conv_admissible(h.shape,
-                                                         self.out_ch):
+        if norm_conv_worthwhile(h.shape, self.out_ch):
             zq_r, *np_out = SpatialNorm(dtype=self.dtype, name="norm_out")(
                 h, zq, return_params=True)
             k, b = _Conv3x3Params(h.shape[-1], self.out_ch,

@@ -22,8 +22,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.norm_conv import (admissible as _norm_conv_admissible,
-                             group_norm_conv, norm_conv_enabled)
+from ..ops.norm_conv import group_norm_conv, norm_conv_worthwhile
 from .blocks import (AttnBlock, Downsample, GroupNorm32, ResnetBlock, swish,
                      _Conv3x3Params)
 
@@ -41,8 +40,7 @@ class _MidHead(nn.Module):
         h = AttnBlock(dtype=self.dtype, name="attn_1")(h)
         h = ResnetBlock(dropout=self.dropout, dtype=self.dtype,
                         name="block_2")(h, deterministic=deterministic)
-        if norm_conv_enabled() and _norm_conv_admissible(h.shape,
-                                                         self.z_channels):
+        if norm_conv_worthwhile(h.shape, self.z_channels):
             gs, gb = GroupNorm32(dtype=self.dtype, name="norm_out")(
                 h, return_params=True)
             k, b = _Conv3x3Params(h.shape[-1], self.z_channels,

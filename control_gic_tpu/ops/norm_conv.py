@@ -340,40 +340,93 @@ def _interpret_forced() -> bool:
     return os.environ.get("CONTROL_GIC_NORM_CONV") == "interpret"
 
 
-def _fuse_min_h() -> int:
-    """Shape policy for the default gating: fuse only height >= this.
+def _fuse_min_elems() -> int:
+    """Shape policy for the default gating: fuse only when the per-sample
+    activation (h*w*c elements) is at least this large.
 
-    The on-chip sweep (tools/norm_conv_tune.py, v5e, batch 8 bf16) shows
-    the kernel wins standalone only on bandwidth-bound high-res blocks —
-    256^2x128: 3.54 vs 4.19 ms and 128^2x256: 2.60 vs 2.91 ms — and ties
-    or loses on compute-bound low-res ones (64^2x512: 2.42 vs 2.41;
-    32^2x512: 1.72 vs 1.64). Interpret-mode tests bypass the policy so
-    every shape stays covered."""
-    return int(os.environ.get("CONTROL_GIC_NORM_CONV_MINH", "128"))
+    Round-3 on-chip A/B (v5e, bf16; decode of six 768px tiles + the 256²
+    batch-8 round-trip + whole-program encode, see DESIGN.md):
+      - big-shape programs WIN with the kernel: 6-tile 768px decode
+        1815 -> 1381 ms, encode 367 -> 282 ms (engaged shapes: mids
+        192²x512 = 18.9M, trunk 384²x256 = 37.7M, 768²x128 = 75M,
+        192²x256 = 9.4M elems/sample);
+      - the 256²-image program still LOSES slightly (104.4 -> 101.4
+        img/s; its largest shape is 256²x128 = 8.4M elems/sample).
+    9M separates every measured winner (>= 9.4M) from every measured
+    loser (<= 8.4M): bandwidth-bound big activations gain from the fused
+    single pass, compute-bound small ones lose to XLA's global fusion.
+    Interpret-mode tests bypass the policy so every shape stays covered."""
+    return int(os.environ.get("CONTROL_GIC_NORM_CONV_MIN_ELEMS",
+                              "9000000"))
+
+
+_FORCED = __import__("contextvars").ContextVar(
+    "control_gic_norm_conv_forced", default=False)
+
+
+class force_norm_conv:
+    """Engage the fused kernel for programs TRACED inside this context
+    (still subject to `admissible` and the element gate), regardless of the
+    global opt-in. The tiled high-res codec (parallel/tiling.py) uses this:
+    the kernel's measured end-to-end win is specific to its 768px-tile
+    programs (see norm_conv_enabled's numbers). ContextVar-based, so
+    concurrent pipeline threads tracing other programs are unaffected."""
+
+    def __enter__(self):
+        self._tok = _FORCED.set(True)
+        return self
+
+    def __exit__(self, *exc):
+        _FORCED.reset(self._tok)
+        return False
 
 
 def norm_conv_enabled() -> bool:
-    """Gate for the fused SpatialNorm+conv Pallas path — OPT-IN
-    (CONTROL_GIC_NORM_CONV=1 on TPU; "interpret" forces interpret mode on
-    any backend for CPU integration tests).
+    """Gate for the fused SpatialNorm/GroupNorm+swish+conv Pallas path.
 
-    Measured on-chip (bench.py, 256² batch 8 bf16 round-trip, round 2):
-    kernel everywhere 96.6 img/s, shape-gated to its standalone-winning
-    shapes (h>=128, swept blocks) 108.6, all-XLA 112.0 — a net LOSS both
-    ways, so the default is the XLA composition. The hypothesis that
-    consuming the normalized tensor in-kernel leaves XLA no epilogue to
-    lose was wrong in-model: the pallas_call boundary still forfeits the
-    surrounding fusion (residual adds, mask gates), and the 9-shifted-
-    matmul conv only beats XLA's conv pipeline on bandwidth-bound
-    high-res blocks. Kept opt-in as groundwork (correctness pinned by
-    tests/test_norm_conv.py); per-shape numbers: tools/norm_conv_tune.py.
+    Engagement policy (set by round-3 on-chip A/Bs; all numbers v5e bf16):
+      - 768px-TILE programs (the tiled high-res codec): kernel ON via
+        force_norm_conv — decode of six 768² tiles 1915 -> 1448 ms,
+        encode 367 -> 282 ms (~25% whole-program win; engaged shapes
+        192²x512 mids, 384²x256, 768²x128).
+      - whole-image programs: OPT-IN (CONTROL_GIC_NORM_CONV=1). At the
+        256² flagship shape every engagement loses (round 2: fused-
+        everywhere 96.6 img/s vs all-XLA 112.0; round 3 gated re-check
+        101.4 vs 104.4) and at the Kodak 512x768 shape too (decode
+        568 -> 691 ms; element-threshold sweeps 9M/16M/30M and a
+        [9M, 60M) band all lose to XLA's 11.9 img/s round-trip).
+    The asymmetry is XLA's, not the kernel's: the kernel runs at a
+    consistent ~220-260 ms/Mpx across shapes, while XLA's conv pipeline
+    is ~180 ms/Mpx at Kodak shapes but ~370 ms/Mpx at batch-6 768² tile
+    shapes — the kernel only wins where XLA is weak. Per-shape numbers:
+    tools/norm_conv_tune.py; correctness: tests/test_norm_conv.py
+    (interpret mode covers every shape on CPU).
     """
     flag = os.environ.get("CONTROL_GIC_NORM_CONV", "")
     if flag == "interpret":
         return True
     if jax.default_backend() in ("cpu", "gpu"):
         return False
-    return flag == "1"
+    if flag == "0":
+        return False
+    return flag == "1" or _FORCED.get()
+
+
+def norm_conv_worthwhile(x_shape: Tuple[int, ...], cout: int) -> bool:
+    """Full call-site gate: enabled AND shape-admissible AND big enough to
+    win (see _fuse_min_elems). Module code (blocks/encoder/decoder) must
+    branch on THIS, not norm_conv_enabled() alone: when the element gate
+    would reject, the module should keep its original unfused composition
+    (the exact round-2 all-XLA program) rather than routing through the
+    ops-level reference fallback, whose different graph structure measured
+    ~13% slower at 256² (rt256 105.9 -> 92.1 img/s, round-3 regression)."""
+    if not norm_conv_enabled():
+        return False
+    if not admissible(x_shape, cout):
+        return False
+    if _interpret_forced():
+        return True
+    return (x_shape[1] * x_shape[2] * x_shape[3]) >= _fuse_min_elems()
 
 
 def spatial_norm_conv(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
@@ -389,7 +442,8 @@ def spatial_norm_conv(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
         use_fused = (norm_conv_enabled()
                      and admissible(x.shape, cw.shape[-1])
                      and (_interpret_forced()
-                          or x.shape[1] >= _fuse_min_h()))
+                          or x.shape[1] * x.shape[2] * x.shape[3]
+                          >= _fuse_min_elems()))
     if use_fused:
         if _interpret_forced():
             fn = _NORM_CONV_SWISH_I if act_swish else _NORM_CONV_PLAIN_I
@@ -414,7 +468,8 @@ def group_norm_conv(x, gs, gb, cw, cb, act_swish: bool = True,
         use_fused = (norm_conv_enabled()
                      and admissible(x.shape, cw.shape[-1])
                      and (_interpret_forced()
-                          or x.shape[1] >= _fuse_min_h()))
+                          or x.shape[1] * x.shape[2] * x.shape[3]
+                          >= _fuse_min_elems()))
     if use_fused:
         if _interpret_forced():
             fn = _GN_CONV_SWISH_I if act_swish else _GN_CONV_PLAIN_I

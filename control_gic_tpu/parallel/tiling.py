@@ -18,6 +18,7 @@ construction.
 """
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
@@ -249,11 +250,20 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
     """
     import queue
     import threading
+    import time
 
     import jax
     import jax.numpy as jnp
 
     from ..ops.router import mode_from_ratios
+
+    trace = os.environ.get("CONTROL_GIC_PIPE_TRACE") == "1"
+    t_run0 = time.perf_counter()
+
+    def _tr(msg):
+        if trace:
+            print(f"[pipe {time.perf_counter() - t_run0:7.3f}s] {msg}",
+                  flush=True)
 
     images = list(images)
     n = len(images)
@@ -281,14 +291,18 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
     def stage_a(i):
         """H2D image once; dispatch every tile group's encode+pack."""
         _, _, _, groups, _ = plans[i]
+        _tr(f"A{i} start (pad+H2D)")
         img_dev = jnp.asarray(pad_host(i))
         bufs = []
+        from ..ops.norm_conv import force_norm_conv
         for (th, tw), tyx in groups.items():
             offs = tuple((y, x) for _, y, x in tyx)
             fn = _encode_tiles_fn(codec, float(coarse_ratio),
                                   float(medium_ratio), offs, th, tw)
-            bufs.append(((th, tw), tyx, offs,
-                         fn(codec.variables, img_dev)))
+            with force_norm_conv():   # kernel wins on tile programs
+                bufs.append(((th, tw), tyx, offs,
+                             fn(codec.variables, img_dev)))
+        _tr(f"A{i} dispatched")
         return img_dev, bufs
 
     def stage_b(i, item):
@@ -301,8 +315,10 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
         dt = jnp.uint8 if out_uint8 else jnp.float32
         canvas = jnp.zeros((h, w, 3), dt)
         bundles: List[Optional[EncodedImage]] = [None] * n_tiles
+        _tr(f"B{i} start (pack fetch)")
         for (th, tw), tyx, offs, buf in bufs:
             buf = np.asarray(buf)
+            _tr(f"B{i} pack fetched ({buf.nbytes >> 10} KB)")
             layout = codec._pack_layout(mode, th // 4, tw // 4)
             encs = [EncodedImage(mode=mode, latent_hw=(th // 4, tw // 4),
                                  image_hw=(th, tw),
@@ -315,13 +331,22 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                 [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
                 [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
             fn = _decode_stitch_fn(codec, offs, th, tw, out_uint8)
-            canvas = fn(codec.variables, canvas, jnp.asarray(dec_in))
+            from ..ops.norm_conv import force_norm_conv
+            with force_norm_conv():   # kernel wins on tile programs
+                canvas = fn(codec.variables, canvas, jnp.asarray(dec_in))
+        try:  # start the D2H as soon as the last stitch finishes
+            canvas.copy_to_host_async()
+        except AttributeError:
+            pass
+        _tr(f"B{i} decode dispatched")
         return bundles, canvas
 
     def stage_c(i, bundles, canvas):
         """Fetch the stitched reconstruction, unpad, account bpp."""
         (pt, pb, pl, pr), h0, w0, _, _ = plans[i]
+        _tr(f"C{i} start (canvas fetch)")
         rec = np.asarray(canvas)
+        _tr(f"C{i} canvas fetched")
         h, w = rec.shape[:2]
         rec = rec[pt:h - pb if pb else h, pl:w - pr if pr else w]
         bits = sum(e.num_bytes * 8 for e in bundles)
