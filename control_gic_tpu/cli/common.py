@@ -21,15 +21,22 @@ def enable_compilation_cache():
 
 
 def build_codec(ckpt: Optional[str] = None,
-                config: CGICConfig = CGICConfig(),
+                config: Optional[CGICConfig] = None,
                 seed: int = 0, use_ema: bool = False) -> CGICCodec:
     """Construct a CGICCodec from either an orbax checkpoint directory, a
     reference torch .ckpt (ported on the fly), or random init (no ckpt).
+
+    config=None mirrors configs/inference.yaml: activations in bfloat16 on
+    an accelerator (2x MXU rate; also the only flash-attention-tuned
+    dtype), float32 on CPU where parity tests live.
 
     use_ema selects the EMA shadow weights from a training checkpoint
     (smoother reconstructions late in training; the reference carries EMA
     shadows in its checkpoints but never consumes them — SURVEY.md §2 item
     12 — so default False matches its behavior)."""
+    if config is None:
+        on_acc = jax.default_backend() not in ("cpu", "gpu")
+        config = CGICConfig(dtype="bfloat16" if on_acc else "float32")
     model = CGIC(config)
     counts = np.ones(config.n_embed, np.int64)
 

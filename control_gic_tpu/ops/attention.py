@@ -391,5 +391,10 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         use_flash = on_tpu and tk >= _FLASH_MIN_TOKENS and bq > 0 and bk > 0
     if use_flash:
-        return _flash_diff(q, k, v, bq or _BLOCK_Q, bk or _BLOCK_K, False)
+        # dtype-cap the blocks HERE too, not only in the VJP wrappers: the
+        # tuned bf16 blocks (1024x512) VMEM-OOM the f32 forward at C=512
+        # (18.9M scoped > 16M limit — hit by any f32 inference at >= 4096
+        # tokens, e.g. cli.infer without the bf16 config)
+        bq, bk = _cap_blocks(q, k, bq or _BLOCK_Q, bk or _BLOCK_K, 512, 1024)
+        return _flash_diff(q, k, v, bq, bk, False)
     return attention_xla(q, k, v)

@@ -228,8 +228,12 @@ def decode_spatial_sharded(mesh: Mesh, decoder_params, z, zq, masks, *,
 
     sh = P(None, axis, None, None)     # NHWC, H sharded
     shm = P(None, axis, None)          # mask [B, h, w]
+    # check_vma=False: the flash-attention pallas_call inside the shard
+    # body cannot declare per-axis varying-ness (jax requires `vma` on its
+    # ShapeDtypeStruct outputs under check_vma) — hit on real TPU only,
+    # where flash engages; the einsum fallback on CPU never trips it.
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(sh, sh, shm, shm, shm, P()),
-        out_specs=sh)
+        out_specs=sh, check_vma=False)
     return fn(z, zq, m_c, m_m, m_f, decoder_params)

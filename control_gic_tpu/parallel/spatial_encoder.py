@@ -218,6 +218,7 @@ def encode_spatial_sharded(mesh: Mesh, encoder_params, quant_conv_params,
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(sh, P(), P(), P()),
-        out_specs=(shm, shm, shm, shm))
+        out_specs=(shm, shm, shm, shm),
+        check_vma=False)  # see spatial_decoder: pallas flash under shard_map
     idx, m_c, m_m, m_f = fn(x, encoder_params, quant_conv_params, codebook)
     return idx, (m_c, m_m, m_f)
