@@ -220,7 +220,7 @@ def main():
                         rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
                     codec = CGICCodec(model, variables, counts)
                 kb = int(os.environ.get("BENCH_KODAK_BATCH", batch))
-                nkf = 4
+                nkf = 8   # enough batches that pipeline fill/drain amortizes
                 imgs_k = u8_imgs((kb, 512, 768, 3), nkf)
                 codec.roundtrip_pipelined(imgs_k[:1], 0.1, 0.4,
                                           device_pack=True,
@@ -256,7 +256,7 @@ def main():
                     codec = CGICCodec(model, variables, counts)
                 th, tw = (int(v) for v in os.environ.get(
                     "BENCH_TILED_HW", "1536x2304").split("x"))
-                n2k = 4
+                n2k = 6   # enough images that pipeline fill/drain amortizes
                 imgs2k = [im[0] for im in u8_imgs((1, th, tw, 3), n2k)]
                 compress_tiled_device(codec, imgs2k[:1], 0.1, 0.4)  # warm
                 t0 = _now()
