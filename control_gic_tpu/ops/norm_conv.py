@@ -347,7 +347,7 @@ def _fuse_min_elems() -> int:
     Round-3 on-chip A/B (v5e, bf16; decode of six 768px tiles + the 256²
     batch-8 round-trip + whole-program encode, see DESIGN.md):
       - big-shape programs WIN with the kernel: 6-tile 768px decode
-        1815 -> 1381 ms, encode 367 -> 282 ms (engaged shapes: mids
+        1915 -> 1448 ms, encode 367 -> 282 ms (engaged shapes: mids
         192²x512 = 18.9M, trunk 384²x256 = 37.7M, 768²x128 = 75M,
         192²x256 = 9.4M elems/sample);
       - the 256²-image program still LOSES slightly (104.4 -> 101.4

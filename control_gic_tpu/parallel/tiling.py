@@ -174,6 +174,11 @@ def _encode_tiles_fn(codec: CGICCodec, rc: float, rm: float,
         from ..models.cgic import CGIC
         from ..ops.router import mode_from_ratios
 
+        if codec._device_tables is None:
+            raise ValueError(
+                "compress_tiled_device needs device-packable Huffman tables "
+                "(codes <= 32 bits); this codec's table does not qualify — "
+                "use compress_tiled()/compress_tiled_many() instead")
         lens, words = codec._device_tables
         max_code_len = int(lens.max()) if lens.size else 1
         mode = mode_from_ratios(rc, rm)
@@ -257,6 +262,7 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
 
     from ..ops.router import mode_from_ratios
 
+    assert tile % 16 == 0, f"tile must be a multiple of 16, got {tile}"
     trace = os.environ.get("CONTROL_GIC_PIPE_TRACE") == "1"
     t_run0 = time.perf_counter()
 
@@ -392,13 +398,16 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
     tc = threading.Thread(target=worker_c, daemon=True)
     tb.start()
     tc.start()
-    for i in range(n):
-        if errors:
-            break
-        qa.put((i, stage_a(i)))
-    qa.put(None)
-    tb.join()
-    tc.join()
+    try:
+        for i in range(n):
+            if errors:
+                break
+            qa.put((i, stage_a(i)))
+    finally:
+        # always unblock the workers, even if stage_a raised mid-pipeline
+        qa.put(None)
+        tb.join()
+        tc.join()
     if errors:
         raise errors[0]
     return [o for o in out]
