@@ -71,6 +71,33 @@ def _now():
     return time.perf_counter()
 
 
+def wire_probe(jax, mb: int = 8):
+    """Measure the host<->device link at bench time (H2D/D2H MB/s + small-
+    transfer round-trip). The chip hangs off a tunnel whose bandwidth varies
+    run to run (~±30%, CLAUDE.md); recording it next to every wire-bound
+    metric makes the bench self-attributing — a slow codec number with a
+    slow probe is tunnel state, not a code regression."""
+    import numpy as _np
+    rng = _np.random.default_rng(7)
+    buf = rng.integers(0, 255, (mb << 20,), dtype=_np.uint8)
+    small = _np.zeros(64, _np.uint8)
+    d = jax.device_put(small)
+    _np.asarray(d)                       # warm the path
+    t0 = _now()
+    for _ in range(4):
+        _np.asarray(jax.device_put(small))
+    rtt_ms = (_now() - t0) / 4 * 1e3 / 2   # one-way legs per round-trip
+    t0 = _now()
+    d = jax.device_put(buf)
+    d.block_until_ready()
+    h2d = mb / (_now() - t0)
+    t0 = _now()
+    _np.asarray(d)
+    d2h = mb / (_now() - t0)
+    return {"wire_h2d_mbs": round(h2d, 1), "wire_d2h_mbs": round(d2h, 1),
+            "wire_rtt_ms": round(rtt_ms, 1)}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -163,6 +190,20 @@ def main():
         return [(np.asarray(rand_imgs(shape)) * 255).astype(np.uint8)
                 for _ in range(n)]
 
+    def _stage_summary(stats, n_batches):
+        """Compress codec.last_pipeline_stats into a compact per-batch-ms
+        record + achieved overlap (stage-sum over wall)."""
+        keys = ("a_upload_s", "b_fetch_s", "b_frame_s", "b_rebuild_s",
+                "b_h2d_dispatch_s", "c_fetch_s")
+        out = {k[:-2] + "_ms": round(stats.get(k, 0.0) * 1e3 / n_batches, 1)
+               for k in keys}
+        wall = stats.get("wall_s", 0.0)
+        ssum = sum(stats.get(k, 0.0) for k in keys)
+        out["wall_ms"] = round(wall * 1e3 / n_batches, 1)
+        if wall > 0:
+            out["overlap_x"] = round(ssum / wall, 2)
+        return out
+
     def run_codec256():
         counts = np.maximum(
             rng.poisson(100, cfg.n_embed), 1).astype(np.int64)
@@ -175,13 +216,21 @@ def main():
         # warmup compiles both programs
         encs = codec.encode_batch(imgs_s[0], 0.1, 0.4, device_pack=True)
         codec.decode_batch(encs, out_uint8=True)
-        # serial: wire legs + entropy stage sit in the critical path
+        # serial: wire legs + entropy stage sit in the critical path;
+        # per-leg times recorded for self-attribution
+        t_enc = t_dec = 0.0
         t0 = _now()
         for im in imgs_s:
+            t1 = _now()
             encs = codec.encode_batch(im, 0.1, 0.4, device_pack=True)
+            t2 = _now()
             rec = codec.decode_batch(encs, out_uint8=True)
+            t_enc += t2 - t1
+            t_dec += _now() - t2
         serial = cbatch * n / (_now() - t0)
         rec.sum()  # numpy already — host sync happened per decode
+        diag = {"serial_enc_ms": round(t_enc * 1e3 / n, 1),
+                "serial_dec_ms": round(t_dec * 1e3 / n, 1)}
         # pipelined: threaded upload/entropy/download overlap
         # (codec.roundtrip_pipelined; same compiled programs, same bytes)
         t0 = _now()
@@ -189,7 +238,8 @@ def main():
                                             device_pack=True, out_uint8=True)
         pipelined = cbatch * n / (_now() - t0)
         recs[-1].sum()
-        return pipelined, serial, codec
+        diag["pipeline"] = _stage_summary(codec.last_pipeline_stats, n)
+        return pipelined, serial, codec, diag
 
     codec = None
     for name in configs:
@@ -198,10 +248,13 @@ def main():
             continue
         try:
             if name == "codec256":
-                val, serial, codec = run_codec256()
+                # probe the tunnel right before the first wire-bound config
+                extra.update(wire_probe(jax))
+                val, serial, codec, diag = run_codec256()
                 extra["codec256_full_img_s"] = round(val, 3)
                 extra["codec256_serial_img_s"] = round(serial, 3)
                 extra["codec256_batch"] = cbatch
+                extra["codec256_diag"] = diag
             elif name == "kodak":
                 kb = int(os.environ.get("BENCH_KODAK_BATCH", batch))
                 kfn = roundtrip_scan_fn((512, 768))
@@ -232,6 +285,8 @@ def main():
                     kb * nkf / (_now() - t0), 3)
                 extra["kodak_bpp"] = round(
                     float(np.mean([e.bpp for b in encs for e in b])), 4)
+                extra["kodak_full_diag"] = _stage_summary(
+                    codec.last_pipeline_stats, nkf)
             elif name == "codec256_f32":
                 # float32 in/out variant of codec256 (4x wire bytes): the
                 # number for callers that keep float tensors host-side
@@ -263,6 +318,11 @@ def main():
                 results = compress_tiled_device(codec, imgs2k, 0.1, 0.4)
                 extra["tiled2k_img_s"] = round(n2k / (_now() - t0), 3)
                 extra["tiled2k_bpp"] = round(results[-1][1], 4)
+                extra["tiled2k_diag"] = _stage_summary(
+                    codec.last_pipeline_stats, n2k)
+                # second probe: tunnel state drifts within a bench run
+                extra.update({("end_" + k): v
+                              for k, v in wire_probe(jax).items()})
         except Exception as e:  # record, never lose the headline line
             extra[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
 

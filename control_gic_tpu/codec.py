@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
+from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -134,6 +136,9 @@ class CGICCodec:
         self._encode_fns = {}
         self._encode_pack_fns = {}
         self._decode_fns = {}
+        # set by roundtrip_pipelined: per-stage seconds/bytes of the last
+        # pipelined run (threads write disjoint keys, so no lock needed)
+        self.last_pipeline_stats: Dict[str, float] = {}
         self._decode_fn = jax.jit(
             lambda v, idx, masks: self.model.apply(
                 v, idx, masks, method=CGIC.decode_indices))
@@ -461,17 +466,29 @@ class CGICCodec:
                               per_sample=True)(self.variables, x)
         return _PendingEncode(mode, (h // 4, w // 4), (h, w), n, enc=enc)
 
-    def encode_finish(self, pending: "_PendingEncode") -> List[EncodedImage]:
+    def encode_finish(self, pending: "_PendingEncode",
+                      stats: Optional[dict] = None) -> List[EncodedImage]:
         """Fetch a pending encode's device arrays and frame the bitstreams
-        (the host entropy stage). Blocks until the device work is done."""
+        (the host entropy stage). Blocks until the device work is done.
+
+        stats (optional dict) accumulates per-stage seconds/bytes for
+        self-attributing benchmarks: 'b_fetch_s' (device sync + packed-words
+        D2H), 'b_frame_s' (host byte framing), 'b_fetch_bytes'."""
         if pending.packed is not None:
+            t0 = time.perf_counter()
             buf = np.asarray(pending.packed)
+            t1 = time.perf_counter()
             layout = self._pack_layout(pending.mode, *pending.latent_hw)
-            return [EncodedImage(mode=pending.mode,
-                                 latent_hw=pending.latent_hw,
-                                 image_hw=pending.image_hw,
-                                 streams=fused_to_bytes(buf, layout, i))
-                    for i in range(pending.n)]
+            out = [EncodedImage(mode=pending.mode,
+                                latent_hw=pending.latent_hw,
+                                image_hw=pending.image_hw,
+                                streams=fused_to_bytes(buf, layout, i))
+                   for i in range(pending.n)]
+            if stats is not None:
+                stats["b_fetch_s"] += t1 - t0
+                stats["b_frame_s"] += time.perf_counter() - t1
+                stats["b_fetch_bytes"] += buf.nbytes
+            return out
         enc = pending.enc
         ind = np.asarray(enc.indices)
         m_c = np.asarray(enc.router.mask_coarse)
@@ -482,9 +499,14 @@ class CGICCodec:
                 for i in range(pending.n)]
 
     def decode_batch_async(self, encoded: List[EncodedImage], *,
-                           out_uint8: bool = False) -> jnp.ndarray:
+                           out_uint8: bool = False,
+                           stats: Optional[dict] = None) -> jnp.ndarray:
         """Host receiver rebuild + async device decode dispatch. Returns the
-        (possibly still computing) device array; np.asarray() it to sync."""
+        (possibly still computing) device array; np.asarray() it to sync.
+
+        stats accumulates 'b_rebuild_s' (host entropy decode + grid
+        rebuild), 'b_h2d_dispatch_s', 'b_h2d_bytes'."""
+        t0 = time.perf_counter()
         inds, m_cs, m_ms, m_fs = [], [], [], []
         for e in encoded:
             ind, (m_c, m_m, m_f) = self._rebuild(e)
@@ -494,8 +516,14 @@ class CGICCodec:
             m_fs.append(m_f)
         hl, wl = encoded[0].latent_hw
         buf = self._fused_decode_input(inds, m_cs, m_ms, m_fs)
-        return self._decode_fused_fn(hl, wl, out_uint8)(
+        t1 = time.perf_counter()
+        out = self._decode_fused_fn(hl, wl, out_uint8)(
             self.variables, jnp.asarray(buf))
+        if stats is not None:
+            stats["b_rebuild_s"] += t1 - t0
+            stats["b_h2d_dispatch_s"] += time.perf_counter() - t1
+            stats["b_h2d_bytes"] += buf.nbytes
+        return out
 
     def roundtrip_pipelined(self, batches, coarse_ratio: float,
                             medium_ratio: float, *,
@@ -520,6 +548,12 @@ class CGICCodec:
         this overlap is the difference between serial and full-duplex
         throughput.
 
+        After the call, self.last_pipeline_stats holds per-stage cumulative
+        seconds + byte counts (a_upload_s, b_fetch_s, b_frame_s,
+        b_rebuild_s, b_h2d_dispatch_s, c_fetch_s, wall_s, ...): the
+        self-attribution record for benchmark runs — the stage sums vs
+        wall_s say how much overlap actually engaged.
+
         Returns (reconstructions per batch, bundles per batch)."""
         import jax as _jax
         batches = list(batches)
@@ -530,6 +564,8 @@ class CGICCodec:
                                             medium_ratio,
                                             device_pack=device_pack,
                                             out_uint8=out_uint8)
+        stats = defaultdict(float)
+        t_wall = time.perf_counter()
         recs: List[np.ndarray] = []
         encs_all: List[List[EncodedImage]] = []
         pend_d = None
@@ -538,18 +574,28 @@ class CGICCodec:
                                           device_pack=device_pack)
                   if batches else None)
         for i in range(len(batches)):
+            t0 = time.perf_counter()
             nxt = (self.encode_batch_async(batches[i + 1], coarse_ratio,
                                            medium_ratio,
                                            device_pack=device_pack)
                    if i + 1 < len(batches) else None)
-            encs = self.encode_finish(pend_e)
+            stats["a_upload_s"] += time.perf_counter() - t0
+            encs = self.encode_finish(pend_e, stats=stats)
             encs_all.append(encs)
             if pend_d is not None:
+                t0 = time.perf_counter()
                 recs.append(np.asarray(pend_d))
-            pend_d = self.decode_batch_async(encs, out_uint8=out_uint8)
+                stats["c_fetch_s"] += time.perf_counter() - t0
+            pend_d = self.decode_batch_async(encs, out_uint8=out_uint8,
+                                             stats=stats)
             pend_e = nxt
         if pend_d is not None:
+            t0 = time.perf_counter()
             recs.append(np.asarray(pend_d))
+            stats["c_fetch_s"] += time.perf_counter() - t0
+        stats["wall_s"] = time.perf_counter() - t_wall
+        stats["threaded"] = 0.0
+        self.last_pipeline_stats = dict(stats)
         return recs, encs_all
 
     def _roundtrip_threaded(self, batches, coarse_ratio: float,
@@ -569,6 +615,8 @@ class CGICCodec:
         qa: "queue.Queue" = queue.Queue(maxsize=2)
         qb: "queue.Queue" = queue.Queue(maxsize=2)
         errors: List[BaseException] = []
+        stats = defaultdict(float)
+        t_wall = time.perf_counter()
 
         # Workers record the first error and keep draining their queues so
         # no producer ever blocks on a full queue against a dead consumer.
@@ -582,9 +630,10 @@ class CGICCodec:
                     continue
                 i, pend = item
                 try:
-                    encs = self.encode_finish(pend)
+                    encs = self.encode_finish(pend, stats=stats)
                     rec_dev = self.decode_batch_async(encs,
-                                                      out_uint8=out_uint8)
+                                                      out_uint8=out_uint8,
+                                                      stats=stats)
                     try:  # start the D2H as soon as the decode finishes
                         rec_dev.copy_to_host_async()
                     except AttributeError:
@@ -603,7 +652,9 @@ class CGICCodec:
                 i, encs, rec_dev = item
                 try:
                     encs_all[i] = encs
+                    t0 = time.perf_counter()
                     recs[i] = np.asarray(rec_dev)
+                    stats["c_fetch_s"] += time.perf_counter() - t0
                 except BaseException as e:
                     errors.append(e)
 
@@ -614,13 +665,19 @@ class CGICCodec:
         for i in range(n):
             if errors:
                 break
+            t0 = time.perf_counter()
             pend = self.encode_batch_async(batches[i], coarse_ratio,
                                            medium_ratio,
                                            device_pack=device_pack)
+            stats["a_upload_s"] += time.perf_counter() - t0
+            stats["a_upload_bytes"] += getattr(batches[i], "nbytes", 0)
             qa.put((i, pend))
         qa.put(None)
         tb.join()
         tc.join()
+        stats["wall_s"] = time.perf_counter() - t_wall
+        stats["threaded"] = 1.0
+        self.last_pipeline_stats = dict(stats)
         if errors:
             raise errors[0]
         return recs, encs_all

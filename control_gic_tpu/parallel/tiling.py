@@ -264,6 +264,8 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
 
     assert tile % 16 == 0, f"tile must be a multiple of 16, got {tile}"
     trace = os.environ.get("CONTROL_GIC_PIPE_TRACE") == "1"
+    from collections import defaultdict
+    stats = defaultdict(float)   # stages write disjoint keys across threads
     t_run0 = time.perf_counter()
 
     def _tr(msg):
@@ -296,6 +298,7 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
 
     def stage_a(i):
         """H2D image once; dispatch every tile group's encode+pack."""
+        t0 = time.perf_counter()
         _, _, _, groups, _ = plans[i]
         _tr(f"A{i} start (pad+H2D)")
         img_dev = jnp.asarray(pad_host(i))
@@ -309,6 +312,8 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                 bufs.append(((th, tw), tyx, offs,
                              fn(codec.variables, img_dev)))
         _tr(f"A{i} dispatched")
+        stats["a_upload_s"] += time.perf_counter() - t0
+        stats["a_upload_bytes"] += getattr(images[i], "nbytes", 0)
         return img_dev, bufs
 
     def stage_b(i, item):
@@ -323,8 +328,12 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
         bundles: List[Optional[EncodedImage]] = [None] * n_tiles
         _tr(f"B{i} start (pack fetch)")
         for (th, tw), tyx, offs, buf in bufs:
+            t0 = time.perf_counter()
             buf = np.asarray(buf)
+            stats["b_fetch_s"] += time.perf_counter() - t0
+            stats["b_fetch_bytes"] += buf.nbytes
             _tr(f"B{i} pack fetched ({buf.nbytes >> 10} KB)")
+            t0 = time.perf_counter()
             layout = codec._pack_layout(mode, th // 4, tw // 4)
             encs = [EncodedImage(mode=mode, latent_hw=(th // 4, tw // 4),
                                  image_hw=(th, tw),
@@ -336,10 +345,14 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
             dec_in = codec._fused_decode_input(
                 [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
                 [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
+            stats["b_rebuild_s"] += time.perf_counter() - t0
             fn = _decode_stitch_fn(codec, offs, th, tw, out_uint8)
+            t0 = time.perf_counter()
             from ..ops.norm_conv import force_norm_conv
             with force_norm_conv():   # kernel wins on tile programs
                 canvas = fn(codec.variables, canvas, jnp.asarray(dec_in))
+            stats["b_h2d_dispatch_s"] += time.perf_counter() - t0
+            stats["b_h2d_bytes"] += dec_in.nbytes
         try:  # start the D2H as soon as the last stitch finishes
             canvas.copy_to_host_async()
         except AttributeError:
@@ -351,17 +364,26 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
         """Fetch the stitched reconstruction, unpad, account bpp."""
         (pt, pb, pl, pr), h0, w0, _, _ = plans[i]
         _tr(f"C{i} start (canvas fetch)")
+        t0 = time.perf_counter()
         rec = np.asarray(canvas)
+        stats["c_fetch_s"] += time.perf_counter() - t0
+        stats["c_fetch_bytes"] += rec.nbytes
         _tr(f"C{i} canvas fetched")
         h, w = rec.shape[:2]
         rec = rec[pt:h - pb if pb else h, pl:w - pr if pr else w]
         bits = sum(e.num_bytes * 8 for e in bundles)
         out[i] = (rec, bits / (h0 * w0), bundles)
 
+    def _finish():
+        stats["wall_s"] = time.perf_counter() - t_run0
+        codec.last_pipeline_stats = dict(stats)
+
     if not threads or n == 1:
         for i in range(n):
             bundles, canvas = stage_b(i, stage_a(i))
             stage_c(i, bundles, canvas)
+        stats["threaded"] = 0.0
+        _finish()
         return [o for o in out]
 
     qa: "queue.Queue" = queue.Queue(maxsize=1)
@@ -408,6 +430,8 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
         qa.put(None)
         tb.join()
         tc.join()
+    stats["threaded"] = 1.0
+    _finish()
     if errors:
         raise errors[0]
     return [o for o in out]

@@ -117,6 +117,13 @@ def test_roundtrip_threaded_matches_serial(codec, rng_module):
         rec_s = codec.decode_batch(encs_s)
         assert [e.streams for e in encs_s] == [e.streams for e in enc_t]
         np.testing.assert_allclose(np.asarray(rec_t), rec_s, atol=1e-6)
+    # self-attribution record: stage seconds + byte counts were collected
+    st = codec.last_pipeline_stats
+    assert st["threaded"] == 1.0 and st["wall_s"] > 0
+    for k in ("a_upload_s", "b_fetch_s", "b_frame_s", "b_rebuild_s",
+              "b_h2d_dispatch_s", "c_fetch_s", "b_fetch_bytes",
+              "b_h2d_bytes"):
+        assert k in st, k
 
 
 def test_uint8_input_matches_float(codec, rng_module):
