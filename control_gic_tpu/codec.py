@@ -38,6 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .coding import BitmapCodec, HuffmanCodec
+from .coding.huffman_decode_tpu import (bitmap_decode_bits, build_decode_lut,
+                                        huffman_decode_bits,
+                                        supports_decode_table)
 from .coding.huffman_tpu import pack_tables, supports_table
 from .coding.stream_pack import (fuse_packed, fused_layout, fused_to_bytes,
                                  pack_streams_batch)
@@ -121,6 +124,112 @@ def _up4(m: np.ndarray) -> np.ndarray:
     return m.repeat(4, axis=-2).repeat(4, axis=-1)
 
 
+def unpack_caps(L: int, mode: int, hl: int, wl: int):
+    """Static per-stream (name, symbol count, word capacity, is_bitmap)
+    layout for the device-unpack receiver. Word capacities bound the
+    dynamic_slice each stream reads from the flat upload buffer (one guard
+    word past the largest peek position); L = the LUT's max code length."""
+    nc, nm, nf = (hl // 4) * (wl // 4), (hl // 2) * (wl // 2), hl * wl
+    sizes = {
+        "indices_coarse": (nc, nc * L // 32 + 2, False),
+        "indices_medium": (nm, nm * L // 32 + 2, False),
+        "indices_fine": (nf, nf * L // 32 + 2, False),
+        "mask_coarse": (nc, nc // 32 + 2, True),
+        "mask_medium": (nm, nm // 32 + 2, True),
+    }
+    return [(name,) + sizes[name] for name in MODE_STREAMS[mode]]
+
+
+def make_rebuild_one(L: int, mode: int, hl: int, wl: int):
+    """Build the single-image device receiver: (flat_words, word_offsets,
+    lut_sym, lut_len) -> (index grid, m_c, m_m, m_f), all on device.
+
+    Parallel Huffman decode per stream (huffman_decode_tpu), bitmap mask
+    unpack, complement fine mask, front-packed symbols scattered back into
+    their grain positions, grids interleaved — model.py:269-389 semantics.
+    vmap over images; shared by decode_batch(device_unpack=True) and the
+    tiled codec's decode+stitch program."""
+    caps = unpack_caps(L, mode, hl, wl)
+    hc, wc, hm, wm = hl // 4, wl // 4, hl // 2, wl // 2
+    nc, nm, nf = hc * wc, hm * wm, hl * wl
+
+    up2 = lambda g: g.repeat(2, axis=-2).repeat(2, axis=-1)
+    up4 = lambda g: g.repeat(4, axis=-2).repeat(4, axis=-1)
+
+    def scatter_syms(mask_grid, syms):
+        """Front-packed symbols -> their mask positions (inverse of
+        stream_pack.compact_masked); row-major rank via cumsum."""
+        flat = mask_grid.reshape(-1)
+        rank = jnp.clip(jnp.cumsum(flat) - 1, 0, syms.shape[0] - 1)
+        return jnp.where(flat == 1, jnp.take(syms, rank),
+                         0).reshape(mask_grid.shape)
+
+    def rebuild_one(flat, offs, lut_s, lut_l):
+        blocks = {}
+        for s, (name, _, cw, _) in enumerate(caps):
+            blocks[name] = jax.lax.dynamic_slice(flat, (offs[s],), (cw,))
+
+        def huff(name, count, n_sym):
+            return huffman_decode_bits(blocks[name], count, lut_s,
+                                       lut_l, n_sym, L)
+
+        if mode == 0:
+            m_c = bitmap_decode_bits(blocks["mask_coarse"],
+                                     nc).reshape(hc, wc)
+            m_m = bitmap_decode_bits(blocks["mask_medium"],
+                                     nm).reshape(hm, wm)
+            m_f = 1 - up2(m_m) - up4(m_c)
+            g_c = scatter_syms(m_c, huff("indices_coarse", m_c.sum(), nc))
+            g_m = scatter_syms(m_m, huff("indices_medium", m_m.sum(), nm))
+            g_f = scatter_syms(m_f, huff("indices_fine", m_f.sum(), nf))
+            ind = g_f + up2(g_m) + up4(g_c)
+        elif mode == 1:
+            m_m = bitmap_decode_bits(blocks["mask_medium"],
+                                     nm).reshape(hm, wm)
+            m_f = 1 - up2(m_m)
+            m_c = jnp.zeros((hc, wc), jnp.int32)
+            g_m = scatter_syms(m_m, huff("indices_medium", m_m.sum(), nm))
+            g_f = scatter_syms(m_f, huff("indices_fine", m_f.sum(), nf))
+            ind = g_f + up2(g_m)
+        elif mode == 2:
+            m_c = bitmap_decode_bits(blocks["mask_coarse"],
+                                     nc).reshape(hc, wc)
+            m_f = 1 - up4(m_c)
+            m_m = jnp.zeros((hm, wm), jnp.int32)
+            g_c = scatter_syms(m_c, huff("indices_coarse", m_c.sum(), nc))
+            g_f = scatter_syms(m_f, huff("indices_fine", m_f.sum(), nf))
+            ind = g_f + up4(g_c)
+        elif mode == 3:
+            m_c = bitmap_decode_bits(blocks["mask_coarse"],
+                                     nc).reshape(hc, wc)
+            m_m = 1 - up2(m_c)
+            m_f = jnp.zeros((hl, wl), jnp.int32)
+            g_c = scatter_syms(m_c, huff("indices_coarse", m_c.sum(), nc))
+            g_m = scatter_syms(m_m, huff("indices_medium", m_m.sum(), nm))
+            ind = up4(g_c) + up2(g_m)
+        elif mode == 4:
+            syms = huff("indices_coarse", jnp.int32(nc), nc)
+            ind = up4(syms.reshape(hc, wc))
+            m_c = jnp.ones((hc, wc), jnp.int32)
+            m_m = jnp.zeros((hm, wm), jnp.int32)
+            m_f = jnp.zeros((hl, wl), jnp.int32)
+        elif mode == 5:
+            syms = huff("indices_medium", jnp.int32(nm), nm)
+            ind = up2(syms.reshape(hm, wm))
+            m_m = jnp.ones((hm, wm), jnp.int32)
+            m_c = jnp.zeros((hc, wc), jnp.int32)
+            m_f = jnp.zeros((hl, wl), jnp.int32)
+        else:
+            syms = huff("indices_fine", jnp.int32(nf), nf)
+            ind = syms.reshape(hl, wl)
+            m_f = jnp.ones((hl, wl), jnp.int32)
+            m_c = jnp.zeros((hc, wc), jnp.int32)
+            m_m = jnp.zeros((hm, wm), jnp.int32)
+        return ind, m_c, m_m, m_f
+
+    return rebuild_one
+
+
 class CGICCodec:
     """Host-side orchestrator binding a CGIC model + entropy coders."""
 
@@ -133,9 +242,15 @@ class CGICCodec:
         # any non-degenerate trained frequency table).
         self._device_tables = (pack_tables(self.huffman.codes)
                                if supports_table(self.huffman.codes) else None)
+        # Device-side decoding (parallel LUT walk) needs lengths in
+        # [1, MAX_LUT_BITS]; falls back to the host C++ decoder otherwise.
+        self._decode_tables = (build_decode_lut(self.huffman.codes)
+                               if supports_decode_table(self.huffman.codes)
+                               else None)
         self._encode_fns = {}
         self._encode_pack_fns = {}
         self._decode_fns = {}
+        self._decode_tables_dev = None   # lazily device-put LUTs
         # set by roundtrip_pipelined: per-stage seconds/bytes of the last
         # pipelined run (threads write disjoint keys, so no lock needed)
         self.last_pipeline_stats: Dict[str, float] = {}
@@ -184,6 +299,66 @@ class CGICCodec:
              np.stack(m_cs).reshape(b, -1),
              np.stack(m_ms).reshape(b, -1),
              np.stack(m_fs).reshape(b, -1)], axis=1).astype(np.int32)
+
+    # ------------------------------------------- device-unpack receiver path
+
+    def _unpack_caps(self, mode: int, hl: int, wl: int):
+        return unpack_caps(self._decode_tables[2], mode, hl, wl)
+
+    def _decode_unpack_fn(self, mode: int, hl: int, wl: int, out_uint8: bool):
+        """Fully-device receiver: ONE flat uint32 buffer holding every
+        image's raw bitstream words (the actual few-KB compressed payload)
+        + a per-(image, stream) word-offset table -> reconstruction.
+
+        The bitstreams are Huffman-decoded on device by the parallel
+        LUT-walk (coding/huffman_decode_tpu.py), masks unpacked from their
+        bitmaps, the fine mask derived as the complement, symbols scattered
+        into their grain grids, and the full index grid interleaved — the
+        receiver rebuild of model.py:269-389 with zero host work and an
+        H2D proportional to the COMPRESSED size (the host path uploads the
+        decoded ~230 KB index+mask grids per Kodak image instead)."""
+        key = ("unpack", mode, hl, wl, out_uint8)
+        if key not in self._decode_fns:
+            rebuild_one = make_rebuild_one(self._decode_tables[2], mode,
+                                           hl, wl)
+
+            def fn(v, flat, offs, lut_s, lut_l):
+                ind, m_c, m_m, m_f = jax.vmap(
+                    rebuild_one, in_axes=(None, 0, None, None))(
+                        flat, offs, lut_s, lut_l)
+                rec = self.model.apply(v, ind, (m_c, m_m, m_f),
+                                       method=CGIC.decode_indices)
+                if out_uint8:
+                    rec = (jnp.clip(rec, 0.0, 1.0) * 255).astype(jnp.uint8)
+                return rec
+
+            self._decode_fns[key] = jax.jit(fn)
+        return self._decode_fns[key]
+
+    def _flat_stream_upload(self, encoded: List[EncodedImage]
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host: concatenate every bundle's raw payload words (pad headers
+        stripped, big-endian byteswap to MSB-first uint32) into one flat
+        buffer + per-(image, stream) word offsets. The upload size is the
+        compressed size, not the grid size."""
+        mode = encoded[0].mode
+        caps = self._unpack_caps(mode, *encoded[0].latent_hw)
+        offs = np.zeros((len(encoded), len(caps)), np.int32)
+        blocks = []
+        pos = 0
+        for i, e in enumerate(encoded):
+            for s, (name, _, cw, _) in enumerate(caps):
+                frame = e.streams[name]
+                body = frame[1:] if len(frame) else b""
+                raw = body + b"\x00" * (-len(body) % 4)
+                words = np.frombuffer(raw, np.uint32).byteswap()
+                assert words.size <= cw, (name, words.size, cw)
+                offs[i, s] = pos
+                blocks.append(words)
+                pos += words.size
+        guard = max(cw for _, _, cw, _ in caps) + 1
+        blocks.append(np.zeros(guard, np.uint32))
+        return np.concatenate(blocks), offs
 
     # ---------------------------------------------------------------- encode
 
@@ -433,11 +608,49 @@ class CGICCodec:
         return self.decode_batch([encoded])[0]
 
     def decode_batch(self, encoded: List[EncodedImage], *,
-                     out_uint8: bool = False) -> np.ndarray:
+                     out_uint8: bool = False,
+                     device_unpack: bool = False) -> np.ndarray:
         """Batched decode of same-shape bundles -> [N, H, W, 3] (float, or
-        save_png-quantized uint8 with out_uint8=True)."""
+        save_png-quantized uint8 with out_uint8=True).
+
+        device_unpack=True runs the whole receiver on device (parallel
+        Huffman decode + mask/grid rebuild): the H2D upload is the raw
+        compressed bitstreams instead of the decoded index/mask grids.
+        Pixel-identical to the host path (pinned by test_device_unpack);
+        requires a device-decodable table (falls back to host otherwise).
+        The host path additionally VALIDATES streams (CorruptStreamError);
+        the device path assumes well-formed input."""
+        if device_unpack and self._decode_tables is not None:
+            return np.asarray(self.decode_batch_device_async(
+                encoded, out_uint8=out_uint8))
         return np.asarray(self.decode_batch_async(encoded,
                                                   out_uint8=out_uint8))
+
+    def decode_batch_device_async(self, encoded: List[EncodedImage], *,
+                                  out_uint8: bool = False,
+                                  stats: Optional[dict] = None
+                                  ) -> jnp.ndarray:
+        """Device-unpack receiver: flat bitstream upload + async decode
+        dispatch (see decode_batch). Returns the device array."""
+        mode, (hl, wl) = encoded[0].mode, encoded[0].latent_hw
+        assert all(e.mode == mode and e.latent_hw == (hl, wl)
+                   for e in encoded)
+        t0 = time.perf_counter()
+        flat, offs = self._flat_stream_upload(encoded)
+        t1 = time.perf_counter()
+        if self._decode_tables_dev is None:
+            lut_sym, lut_len, _ = self._decode_tables
+            self._decode_tables_dev = (jnp.asarray(lut_sym),
+                                       jnp.asarray(lut_len))
+        lut_s, lut_l = self._decode_tables_dev
+        out = self._decode_unpack_fn(mode, hl, wl, out_uint8)(
+            self.variables, jnp.asarray(flat), jnp.asarray(offs),
+            lut_s, lut_l)
+        if stats is not None:
+            stats["b_rebuild_s"] += t1 - t0
+            stats["b_h2d_dispatch_s"] += time.perf_counter() - t1
+            stats["b_h2d_bytes"] += flat.nbytes + offs.nbytes
+        return out
 
     # ----------------------------------------------------- pipelined batches
 
@@ -529,6 +742,7 @@ class CGICCodec:
                             medium_ratio: float, *,
                             device_pack: bool = False,
                             out_uint8: bool = False,
+                            device_unpack: bool = False,
                             threads: Optional[bool] = None
                             ) -> Tuple[List[np.ndarray],
                                        List[List[EncodedImage]]]:
@@ -563,7 +777,11 @@ class CGICCodec:
             return self._roundtrip_threaded(batches, coarse_ratio,
                                             medium_ratio,
                                             device_pack=device_pack,
-                                            out_uint8=out_uint8)
+                                            out_uint8=out_uint8,
+                                            device_unpack=device_unpack)
+        dec_async = (self.decode_batch_device_async
+                     if device_unpack and self._decode_tables is not None
+                     else self.decode_batch_async)
         stats = defaultdict(float)
         t_wall = time.perf_counter()
         recs: List[np.ndarray] = []
@@ -586,8 +804,7 @@ class CGICCodec:
                 t0 = time.perf_counter()
                 recs.append(np.asarray(pend_d))
                 stats["c_fetch_s"] += time.perf_counter() - t0
-            pend_d = self.decode_batch_async(encs, out_uint8=out_uint8,
-                                             stats=stats)
+            pend_d = dec_async(encs, out_uint8=out_uint8, stats=stats)
             pend_e = nxt
         if pend_d is not None:
             t0 = time.perf_counter()
@@ -600,7 +817,7 @@ class CGICCodec:
 
     def _roundtrip_threaded(self, batches, coarse_ratio: float,
                             medium_ratio: float, *, device_pack: bool,
-                            out_uint8: bool):
+                            out_uint8: bool, device_unpack: bool = False):
         """Three-thread pipeline (see roundtrip_pipelined): main thread
         uploads+dispatches encodes, worker B fetches packed words / runs the
         host entropy stage / dispatches decodes, worker C fetches
@@ -610,6 +827,9 @@ class CGICCodec:
         import threading
 
         n = len(batches)
+        dec_async = (self.decode_batch_device_async
+                     if device_unpack and self._decode_tables is not None
+                     else self.decode_batch_async)
         recs: List[Optional[np.ndarray]] = [None] * n
         encs_all: List[Optional[List[EncodedImage]]] = [None] * n
         qa: "queue.Queue" = queue.Queue(maxsize=2)
@@ -631,9 +851,8 @@ class CGICCodec:
                 i, pend = item
                 try:
                     encs = self.encode_finish(pend, stats=stats)
-                    rec_dev = self.decode_batch_async(encs,
-                                                      out_uint8=out_uint8,
-                                                      stats=stats)
+                    rec_dev = dec_async(encs, out_uint8=out_uint8,
+                                        stats=stats)
                     try:  # start the D2H as soon as the decode finishes
                         rec_dev.copy_to_host_async()
                     except AttributeError:

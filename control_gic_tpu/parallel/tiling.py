@@ -230,9 +230,48 @@ def _decode_stitch_fn(codec: CGICCodec, offsets: tuple, th: int, tw: int,
     return cache[key]
 
 
+def _decode_stitch_unpack_fn(codec: CGICCodec, mode: int, offsets: tuple,
+                             th: int, tw: int, out_uint8: bool):
+    """Jitted: (canvas, flat bitstream words, word-offset table) -> canvas
+    with the tiles decoded ON DEVICE (parallel Huffman decode + grid
+    rebuild, codec.make_rebuild_one) and stitched at `offsets`. The
+    receiver H2D is the compressed payload itself."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..codec import make_rebuild_one
+    from ..models.cgic import CGIC
+
+    key = ("decu", mode, offsets, th, tw, out_uint8)
+    cache = _tile_fns(codec)
+    if key not in cache:
+        rebuild_one = make_rebuild_one(codec._decode_tables[2], mode,
+                                       th // 4, tw // 4)
+
+        def fn(v, canvas, flat, offs, lut_s, lut_l):
+            ind, m_c, m_m, m_f = jax.vmap(
+                rebuild_one, in_axes=(None, 0, None, None))(
+                    flat, offs, lut_s, lut_l)
+            rec = codec.model.apply(v, ind, (m_c, m_m, m_f),
+                                    method=CGIC.decode_indices)
+            if out_uint8:
+                rec = (jnp.clip(rec, 0.0, 1.0) * 255).astype(jnp.uint8)
+            else:
+                rec = rec.astype(canvas.dtype)
+            for j, (y, x) in enumerate(offsets):
+                canvas = jax.lax.dynamic_update_slice(canvas, rec[j],
+                                                      (y, x, 0))
+            return canvas
+
+        donate = (1,) if jax.default_backend() != "cpu" else ()
+        cache[key] = jax.jit(fn, donate_argnums=donate)
+    return cache[key]
+
+
 def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                           medium_ratio: float, tile: int = 768,
-                          out_uint8: bool = True, threads: bool = True
+                          out_uint8: bool = True, threads: bool = True,
+                          device_unpack: Optional[bool] = None
                           ) -> List[Tuple[np.ndarray, float,
                                           List[EncodedImage]]]:
     """Wire-minimal tiled codec over a sequence of images.
@@ -251,6 +290,12 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
     quantization (clip -> *255 -> trunc, same as cli.common.save_png) when
     out_uint8=True.
 
+    device_unpack (None = auto when the table supports it) decodes the
+    bitstreams ON DEVICE (codec.decode_batch device_unpack semantics): the
+    receiver-side H2D shrinks from the decoded index/mask grids (~1.1 MB
+    per 2K image) to the compressed payload itself (few KB). Pinned
+    pixel-identical by test_tiling.
+
     Returns [(reconstruction, bpp, bundles), ...] in input order.
     """
     import queue
@@ -263,6 +308,9 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
     from ..ops.router import mode_from_ratios
 
     assert tile % 16 == 0, f"tile must be a multiple of 16, got {tile}"
+    if device_unpack is None:
+        device_unpack = codec._decode_tables is not None
+    assert not device_unpack or codec._decode_tables is not None
     trace = os.environ.get("CONTROL_GIC_PIPE_TRACE") == "1"
     from collections import defaultdict
     stats = defaultdict(float)   # stages write disjoint keys across threads
@@ -341,18 +389,36 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                     for j in range(len(offs))]
             for (t, _, _), e in zip(tyx, encs):
                 bundles[t] = e
-            rebuilt = [codec._rebuild(e) for e in encs]
-            dec_in = codec._fused_decode_input(
-                [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
-                [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
-            stats["b_rebuild_s"] += time.perf_counter() - t0
-            fn = _decode_stitch_fn(codec, offs, th, tw, out_uint8)
-            t0 = time.perf_counter()
             from ..ops.norm_conv import force_norm_conv
-            with force_norm_conv():   # kernel wins on tile programs
-                canvas = fn(codec.variables, canvas, jnp.asarray(dec_in))
-            stats["b_h2d_dispatch_s"] += time.perf_counter() - t0
-            stats["b_h2d_bytes"] += dec_in.nbytes
+            if device_unpack:
+                flat, offtbl = codec._flat_stream_upload(encs)
+                stats["b_rebuild_s"] += time.perf_counter() - t0
+                if codec._decode_tables_dev is None:
+                    lut_sym, lut_len, _ = codec._decode_tables
+                    codec._decode_tables_dev = (jnp.asarray(lut_sym),
+                                                jnp.asarray(lut_len))
+                lut_s, lut_l = codec._decode_tables_dev
+                fn = _decode_stitch_unpack_fn(codec, mode, offs, th, tw,
+                                              out_uint8)
+                t0 = time.perf_counter()
+                with force_norm_conv():   # kernel wins on tile programs
+                    canvas = fn(codec.variables, canvas, jnp.asarray(flat),
+                                jnp.asarray(offtbl), lut_s, lut_l)
+                stats["b_h2d_dispatch_s"] += time.perf_counter() - t0
+                stats["b_h2d_bytes"] += flat.nbytes + offtbl.nbytes
+            else:
+                rebuilt = [codec._rebuild(e) for e in encs]
+                dec_in = codec._fused_decode_input(
+                    [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
+                    [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
+                stats["b_rebuild_s"] += time.perf_counter() - t0
+                fn = _decode_stitch_fn(codec, offs, th, tw, out_uint8)
+                t0 = time.perf_counter()
+                with force_norm_conv():   # kernel wins on tile programs
+                    canvas = fn(codec.variables, canvas,
+                                jnp.asarray(dec_in))
+                stats["b_h2d_dispatch_s"] += time.perf_counter() - t0
+                stats["b_h2d_bytes"] += dec_in.nbytes
         try:  # start the D2H as soon as the last stitch finishes
             canvas.copy_to_host_async()
         except AttributeError:
