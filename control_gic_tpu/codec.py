@@ -40,6 +40,7 @@ import numpy as np
 from .coding import BitmapCodec, HuffmanCodec
 from .coding.huffman_decode_tpu import (bitmap_decode_bits, build_decode_lut,
                                         huffman_decode_bits,
+                                        huffman_decode_bits_scan,
                                         supports_decode_table)
 from .coding.huffman_tpu import pack_tables, supports_table
 from .coding.stream_pack import (fuse_packed, fused_layout, fused_to_bytes,
@@ -140,15 +141,29 @@ def unpack_caps(L: int, mode: int, hl: int, wl: int):
     return [(name,) + sizes[name] for name in MODE_STREAMS[mode]]
 
 
-def make_rebuild_one(L: int, mode: int, hl: int, wl: int):
-    """Build the single-image device receiver: (flat_words, word_offsets,
-    lut_sym, lut_len) -> (index grid, m_c, m_m, m_f), all on device.
+def unpack_impl() -> str:
+    """Which device Huffman-decode formulation the receiver uses:
+      'scan' (default): batched lock-step LUT walk, one lax.scan step per
+        symbol with S-lane gathers — the fast path on TPU, where large
+        arbitrary gathers are slow (measured: the rank path cost ~0.7
+        s/batch of pure gather/scatter time at the 256² codec shape).
+      'rank': the fully-parallel jump-pointer list-ranking decoder —
+        no serial chain at all; wins where gathers are cheap.
+    Override with CONTROL_GIC_UNPACK_IMPL."""
+    return os.environ.get("CONTROL_GIC_UNPACK_IMPL", "scan")
 
-    Parallel Huffman decode per stream (huffman_decode_tpu), bitmap mask
-    unpack, complement fine mask, front-packed symbols scattered back into
-    their grain positions, grids interleaved — model.py:269-389 semantics.
-    vmap over images; shared by decode_batch(device_unpack=True) and the
-    tiled codec's decode+stitch program."""
+
+def make_rebuild_batch(L: int, mode: int, hl: int, wl: int,
+                       impl: Optional[str] = None):
+    """Build the batched device receiver: (flat_words, word_offsets [B,S],
+    lut_sym, lut_len) -> (index grids [B,hl,wl], m_c, m_m, m_f), on device.
+
+    Device Huffman decode per stream (huffman_decode_tpu; impl: see
+    unpack_impl), bitmap mask unpack, complement fine mask, front-packed
+    symbols scattered back into their grain positions, grids interleaved —
+    model.py:269-389 semantics. Shared by decode_batch(device_unpack=True)
+    and the tiled codec's decode+stitch program."""
+    impl = impl or unpack_impl()
     caps = unpack_caps(L, mode, hl, wl)
     hc, wc, hm, wm = hl // 4, wl // 4, hl // 2, wl // 2
     nc, nm, nf = hc * wc, hm * wm, hl * wl
@@ -158,76 +173,89 @@ def make_rebuild_one(L: int, mode: int, hl: int, wl: int):
 
     def scatter_syms(mask_grid, syms):
         """Front-packed symbols -> their mask positions (inverse of
-        stream_pack.compact_masked); row-major rank via cumsum."""
-        flat = mask_grid.reshape(-1)
-        rank = jnp.clip(jnp.cumsum(flat) - 1, 0, syms.shape[0] - 1)
-        return jnp.where(flat == 1, jnp.take(syms, rank),
+        stream_pack.compact_masked); row-major rank via cumsum.
+        mask_grid: [B, h, w]; syms: [B, n]."""
+        b = mask_grid.shape[0]
+        flat = mask_grid.reshape(b, -1)
+        rank = jnp.clip(jnp.cumsum(flat, axis=-1) - 1, 0,
+                        syms.shape[-1] - 1)
+        return jnp.where(flat == 1,
+                         jnp.take_along_axis(syms, rank, axis=-1),
                          0).reshape(mask_grid.shape)
 
-    def rebuild_one(flat, offs, lut_s, lut_l):
+    def rebuild_batch(flat, offs, lut_s, lut_l):
         blocks = {}
         for s, (name, _, cw, _) in enumerate(caps):
-            blocks[name] = jax.lax.dynamic_slice(flat, (offs[s],), (cw,))
+            blocks[name] = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(flat, (o,), (cw,)))(
+                    offs[:, s])                              # [B, cw]
+        b = offs.shape[0]
 
-        def huff(name, count, n_sym):
-            return huffman_decode_bits(blocks[name], count, lut_s,
-                                       lut_l, n_sym, L)
+        def bitmap(name, n, h, w):
+            return jax.vmap(
+                lambda p: bitmap_decode_bits(p, n))(
+                    blocks[name]).reshape(b, h, w)
+
+        def huff(name, counts, n_sym):
+            if impl == "scan":
+                return huffman_decode_bits_scan(blocks[name], counts,
+                                                lut_s, lut_l, n_sym, L)
+            return jax.vmap(
+                lambda p, c: huffman_decode_bits(p, c, lut_s, lut_l,
+                                                 n_sym, L))(
+                    blocks[name], counts)
+
+        def msum(m):
+            return m.sum(axis=(1, 2)).astype(jnp.int32)
+
+        zeros = lambda h, w: jnp.zeros((b, h, w), jnp.int32)
+        ones = lambda h, w: jnp.ones((b, h, w), jnp.int32)
+        full = lambda n: jnp.full((b,), n, jnp.int32)
 
         if mode == 0:
-            m_c = bitmap_decode_bits(blocks["mask_coarse"],
-                                     nc).reshape(hc, wc)
-            m_m = bitmap_decode_bits(blocks["mask_medium"],
-                                     nm).reshape(hm, wm)
+            m_c = bitmap("mask_coarse", nc, hc, wc)
+            m_m = bitmap("mask_medium", nm, hm, wm)
             m_f = 1 - up2(m_m) - up4(m_c)
-            g_c = scatter_syms(m_c, huff("indices_coarse", m_c.sum(), nc))
-            g_m = scatter_syms(m_m, huff("indices_medium", m_m.sum(), nm))
-            g_f = scatter_syms(m_f, huff("indices_fine", m_f.sum(), nf))
+            g_c = scatter_syms(m_c, huff("indices_coarse", msum(m_c), nc))
+            g_m = scatter_syms(m_m, huff("indices_medium", msum(m_m), nm))
+            g_f = scatter_syms(m_f, huff("indices_fine", msum(m_f), nf))
             ind = g_f + up2(g_m) + up4(g_c)
         elif mode == 1:
-            m_m = bitmap_decode_bits(blocks["mask_medium"],
-                                     nm).reshape(hm, wm)
+            m_m = bitmap("mask_medium", nm, hm, wm)
             m_f = 1 - up2(m_m)
-            m_c = jnp.zeros((hc, wc), jnp.int32)
-            g_m = scatter_syms(m_m, huff("indices_medium", m_m.sum(), nm))
-            g_f = scatter_syms(m_f, huff("indices_fine", m_f.sum(), nf))
+            m_c = zeros(hc, wc)
+            g_m = scatter_syms(m_m, huff("indices_medium", msum(m_m), nm))
+            g_f = scatter_syms(m_f, huff("indices_fine", msum(m_f), nf))
             ind = g_f + up2(g_m)
         elif mode == 2:
-            m_c = bitmap_decode_bits(blocks["mask_coarse"],
-                                     nc).reshape(hc, wc)
+            m_c = bitmap("mask_coarse", nc, hc, wc)
             m_f = 1 - up4(m_c)
-            m_m = jnp.zeros((hm, wm), jnp.int32)
-            g_c = scatter_syms(m_c, huff("indices_coarse", m_c.sum(), nc))
-            g_f = scatter_syms(m_f, huff("indices_fine", m_f.sum(), nf))
+            m_m = zeros(hm, wm)
+            g_c = scatter_syms(m_c, huff("indices_coarse", msum(m_c), nc))
+            g_f = scatter_syms(m_f, huff("indices_fine", msum(m_f), nf))
             ind = g_f + up4(g_c)
         elif mode == 3:
-            m_c = bitmap_decode_bits(blocks["mask_coarse"],
-                                     nc).reshape(hc, wc)
+            m_c = bitmap("mask_coarse", nc, hc, wc)
             m_m = 1 - up2(m_c)
-            m_f = jnp.zeros((hl, wl), jnp.int32)
-            g_c = scatter_syms(m_c, huff("indices_coarse", m_c.sum(), nc))
-            g_m = scatter_syms(m_m, huff("indices_medium", m_m.sum(), nm))
+            m_f = zeros(hl, wl)
+            g_c = scatter_syms(m_c, huff("indices_coarse", msum(m_c), nc))
+            g_m = scatter_syms(m_m, huff("indices_medium", msum(m_m), nm))
             ind = up4(g_c) + up2(g_m)
         elif mode == 4:
-            syms = huff("indices_coarse", jnp.int32(nc), nc)
-            ind = up4(syms.reshape(hc, wc))
-            m_c = jnp.ones((hc, wc), jnp.int32)
-            m_m = jnp.zeros((hm, wm), jnp.int32)
-            m_f = jnp.zeros((hl, wl), jnp.int32)
+            syms = huff("indices_coarse", full(nc), nc)
+            ind = up4(syms.reshape(b, hc, wc))
+            m_c, m_m, m_f = ones(hc, wc), zeros(hm, wm), zeros(hl, wl)
         elif mode == 5:
-            syms = huff("indices_medium", jnp.int32(nm), nm)
-            ind = up2(syms.reshape(hm, wm))
-            m_m = jnp.ones((hm, wm), jnp.int32)
-            m_c = jnp.zeros((hc, wc), jnp.int32)
-            m_f = jnp.zeros((hl, wl), jnp.int32)
+            syms = huff("indices_medium", full(nm), nm)
+            ind = up2(syms.reshape(b, hm, wm))
+            m_m, m_c, m_f = ones(hm, wm), zeros(hc, wc), zeros(hl, wl)
         else:
-            syms = huff("indices_fine", jnp.int32(nf), nf)
-            ind = syms.reshape(hl, wl)
-            m_f = jnp.ones((hl, wl), jnp.int32)
-            m_c = jnp.zeros((hc, wc), jnp.int32)
-            m_m = jnp.zeros((hm, wm), jnp.int32)
+            syms = huff("indices_fine", full(nf), nf)
+            ind = syms.reshape(b, hl, wl)
+            m_f, m_c, m_m = ones(hl, wl), zeros(hc, wc), zeros(hm, wm)
         return ind, m_c, m_m, m_f
 
-    return rebuild_one
+    return rebuild_batch
 
 
 class CGICCodec:
@@ -317,15 +345,13 @@ class CGICCodec:
         receiver rebuild of model.py:269-389 with zero host work and an
         H2D proportional to the COMPRESSED size (the host path uploads the
         decoded ~230 KB index+mask grids per Kodak image instead)."""
-        key = ("unpack", mode, hl, wl, out_uint8)
+        key = ("unpack", mode, hl, wl, out_uint8, unpack_impl())
         if key not in self._decode_fns:
-            rebuild_one = make_rebuild_one(self._decode_tables[2], mode,
-                                           hl, wl)
+            rebuild = make_rebuild_batch(self._decode_tables[2], mode,
+                                         hl, wl)
 
             def fn(v, flat, offs, lut_s, lut_l):
-                ind, m_c, m_m, m_f = jax.vmap(
-                    rebuild_one, in_axes=(None, 0, None, None))(
-                        flat, offs, lut_s, lut_l)
+                ind, m_c, m_m, m_f = rebuild(flat, offs, lut_s, lut_l)
                 rec = self.model.apply(v, ind, (m_c, m_m, m_f),
                                        method=CGIC.decode_indices)
                 if out_uint8:

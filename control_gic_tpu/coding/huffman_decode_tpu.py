@@ -148,6 +148,47 @@ def huffman_decode_bits(payload: jnp.ndarray, count: jnp.ndarray,
     return jnp.where(jnp.arange(n_cap) < count, syms, 0).astype(jnp.int32)
 
 
+def huffman_decode_bits_scan(payloads: jnp.ndarray, counts: jnp.ndarray,
+                             lut_sym: jnp.ndarray, lut_len: jnp.ndarray,
+                             n_cap: int, max_len: int) -> jnp.ndarray:
+    """Batched sequential LUT-walk: decode S streams in lock-step lanes.
+
+    The list-ranking decoder (huffman_decode_bits) is fully parallel but
+    leans on large arbitrary gathers/scatters, which TPUs execute slowly
+    (measured ~0.7 s/batch at the 256² codec shape — worse than the wire
+    bytes it saves). This variant accepts the serial chain over SYMBOLS
+    (n_cap lax.scan steps) but keeps each step tiny: one S-lane window
+    peek + one S-lane LUT gather, with the decoded symbol emitted as the
+    scan output (no scatter at all). At S=32 streams that is ~4k cheap
+    steps for the fine grid — milliseconds, not hundreds.
+
+    Args:
+      payloads: [S, W] uint32 word blocks (guard word included).
+      counts:   [S] int32 valid-symbol counts.
+    Returns symbols [S, n_cap] int32, zero beyond each stream's count.
+    """
+    s, _ = payloads.shape
+    if n_cap == 0:
+        return jnp.zeros((s, 0), jnp.int32)
+
+    def step(off, _):
+        wi = off >> 5
+        bo = (off & 31).astype(jnp.uint32)
+        w0 = jnp.take_along_axis(payloads, wi[:, None], axis=1)[:, 0]
+        w1 = jnp.take_along_axis(payloads, wi[:, None] + 1, axis=1)[:, 0]
+        window = _shl(w0, bo) | jnp.where(bo == 0, jnp.uint32(0),
+                                          _shr(w1, 32 - bo))
+        idx = _shr(window, jnp.uint32(32 - max_len)).astype(jnp.int32)
+        sym = jnp.take(lut_sym, idx)
+        return off + jnp.take(lut_len, idx), sym
+
+    _, syms = jax.lax.scan(step, jnp.zeros((s,), jnp.int32), None,
+                           length=n_cap)
+    syms = syms.T                                        # [S, n_cap]
+    return jnp.where(jnp.arange(n_cap)[None, :] < counts[:, None],
+                     syms, 0).astype(jnp.int32)
+
+
 def bitmap_decode_bits(payload: jnp.ndarray, n: int) -> jnp.ndarray:
     """Unpack an n-bit bitmap (1 bit/element, MSB-first — the mask frame
     format, mask_coding.py:14-38) to [n] int32. Fully vectorized."""

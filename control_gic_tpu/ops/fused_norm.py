@@ -67,16 +67,33 @@ def spatial_norm_reference(f, zq_r, gn_scale, gn_bias, wy, by, wb, bb,
 
     f: [B,H,W,C]; zq_r: [B,H,W,Z] (already nearest-resized to f);
     wy/wb: [Z,C] 1x1-conv kernels; by/bb/gn_scale/gn_bias: [C].
-    Computes in f32, returns f.dtype.
+    Stats are computed in f32; the pointwise normalize/modulate/swish runs
+    in f.dtype.
+
+    The modulation is deliberately written as a Z-term broadcast sum, NOT
+    `zq @ wy`: Z is 4, and XLA lowers the dot form to f32 convolutions
+    that materialize two full C-channel f32 tensors per norm (536 MB each
+    at 256²x256) across fusion boundaries. The broadcast form fuses into
+    one elementwise pass. Measured on-chip (v5e, 256² batch 8 bf16): the
+    whole round-trip went 105.9 -> 123.2 img/s from this rewrite alone,
+    and -> 127.6 with the pointwise math in f.dtype (stats still f32).
     """
-    normed = group_norm_reference(f, gn_scale, gn_bias)
-    zf = zq_r.astype(jnp.float32)
-    y = zf @ wy.astype(jnp.float32) + by.astype(jnp.float32)
-    bmod = zf @ wb.astype(jnp.float32) + bb.astype(jnp.float32)
+    dt = f.dtype
+    b, h, w, c = f.shape
+    mean, rstd = _gn_stats(f, GROUPS)
+    cg = c // GROUPS
+    mc = jnp.repeat(mean, cg, 1).reshape(b, 1, 1, c).astype(dt)
+    rs = jnp.repeat(rstd, cg, 1).reshape(b, 1, 1, c).astype(dt)
+    normed = (f - mc) * (rs * gn_scale.astype(dt)) + gn_bias.astype(dt)
+    z4 = zq_r.astype(dt)
+    y = by.astype(dt) + sum(z4[..., z:z + 1] * wy[z].astype(dt)
+                            for z in range(z4.shape[-1]))
+    bmod = bb.astype(dt) + sum(z4[..., z:z + 1] * wb[z].astype(dt)
+                               for z in range(z4.shape[-1]))
     out = normed * y + bmod
     if act_swish:
         out = out * jax.nn.sigmoid(out)
-    return out.astype(f.dtype)
+    return out.astype(dt)
 
 
 # ------------------------------------------------------------------ kernels

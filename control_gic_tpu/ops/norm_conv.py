@@ -363,6 +363,36 @@ def _fuse_min_elems() -> int:
 _FORCED = __import__("contextvars").ContextVar(
     "control_gic_norm_conv_forced", default=False)
 
+# Optional pluggable engagement predicate (x_shape, cout) -> bool. When
+# set, it REPLACES the element-count gate (admissibility still applies).
+# Used by on-chip A/B harnesses to measure per-shape policies in-model;
+# the shipped default policy lives in _default_rule below.
+_RULE = None
+
+
+def set_engagement_rule(fn) -> None:
+    global _RULE
+    _RULE = fn
+
+
+def _default_rule(x_shape: Tuple[int, ...], cout: int) -> bool:
+    """Measured per-shape engagement policy (v5e, bf16, round-4 sweeps).
+
+    Standalone per-call A/B vs the XLA composition:
+      64²x512 -> 512 : 2.63 vs 3.23 ms  (kernel +19%)
+      128²x256 -> 256: 2.54 vs 3.17 ms  (kernel +20%)
+      256²x128 -> 128: 3.48 vs 3.23 ms  (kernel -8%)
+    and the round-3 tile-program numbers (DESIGN.md) where every engaged
+    shape >= 9M elems won. The losers share one signature: LARGE spatial
+    extent with the trunk's SMALLEST channel count (hw >= 256² at
+    cin <= 128) — there XLA's conv pipeline is at its best and the
+    kernel's halo/concat overhead is amortized worst. Engage everything
+    else that is big enough to matter (>= 512k elements)."""
+    _, h, w, c = x_shape
+    if h * w >= 65536 and c <= 128:
+        return False
+    return h * w * c >= (1 << 19)
+
 
 class force_norm_conv:
     """Engage the fused kernel for programs TRACED inside this context
@@ -426,6 +456,8 @@ def norm_conv_worthwhile(x_shape: Tuple[int, ...], cout: int) -> bool:
         return False
     if _interpret_forced():
         return True
+    if _RULE is not None:
+        return bool(_RULE(x_shape, cout))
     return (x_shape[1] * x_shape[2] * x_shape[3]) >= _fuse_min_elems()
 
 
@@ -439,11 +471,7 @@ def spatial_norm_conv(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
     the op is a drop-in for SpatialNorm + nn.Conv with identical pytrees.
     """
     if use_fused is None:
-        use_fused = (norm_conv_enabled()
-                     and admissible(x.shape, cw.shape[-1])
-                     and (_interpret_forced()
-                          or x.shape[1] * x.shape[2] * x.shape[3]
-                          >= _fuse_min_elems()))
+        use_fused = norm_conv_worthwhile(x.shape, cw.shape[-1])
     if use_fused:
         if _interpret_forced():
             fn = _NORM_CONV_SWISH_I if act_swish else _NORM_CONV_PLAIN_I
@@ -465,11 +493,7 @@ def group_norm_conv(x, gs, gb, cw, cb, act_swish: bool = True,
     to the XLA composition off-TPU or for inadmissible shapes.
     """
     if use_fused is None:
-        use_fused = (norm_conv_enabled()
-                     and admissible(x.shape, cw.shape[-1])
-                     and (_interpret_forced()
-                          or x.shape[1] * x.shape[2] * x.shape[3]
-                          >= _fuse_min_elems()))
+        use_fused = norm_conv_worthwhile(x.shape, cw.shape[-1])
     if use_fused:
         if _interpret_forced():
             fn = _GN_CONV_SWISH_I if act_swish else _GN_CONV_PLAIN_I

@@ -239,19 +239,17 @@ def _decode_stitch_unpack_fn(codec: CGICCodec, mode: int, offsets: tuple,
     import jax
     import jax.numpy as jnp
 
-    from ..codec import make_rebuild_one
+    from ..codec import make_rebuild_batch, unpack_impl
     from ..models.cgic import CGIC
 
-    key = ("decu", mode, offsets, th, tw, out_uint8)
+    key = ("decu", mode, offsets, th, tw, out_uint8, unpack_impl())
     cache = _tile_fns(codec)
     if key not in cache:
-        rebuild_one = make_rebuild_one(codec._decode_tables[2], mode,
-                                       th // 4, tw // 4)
+        rebuild = make_rebuild_batch(codec._decode_tables[2], mode,
+                                     th // 4, tw // 4)
 
         def fn(v, canvas, flat, offs, lut_s, lut_l):
-            ind, m_c, m_m, m_f = jax.vmap(
-                rebuild_one, in_axes=(None, 0, None, None))(
-                    flat, offs, lut_s, lut_l)
+            ind, m_c, m_m, m_f = rebuild(flat, offs, lut_s, lut_l)
             rec = codec.model.apply(v, ind, (m_c, m_m, m_f),
                                     method=CGIC.decode_indices)
             if out_uint8:

@@ -46,6 +46,48 @@ def test_parallel_decode_matches_host_coder(rng_module):  # noqa: F811
             assert not np.asarray(out)[n:].any()
 
 
+def test_scan_decoder_matches_host_coder(rng_module):  # noqa: F811
+    """The batched lock-step scan decoder (the TPU-fast path) equals the
+    host codec lane-for-lane, with ragged per-lane counts."""
+    from control_gic_tpu.coding.huffman_decode_tpu import (
+        huffman_decode_bits_scan)
+    rng = rng_module
+    counts = np.maximum(rng.poisson(80, 128), 1).astype(np.int64)
+    h = HuffmanCodec.from_counts(counts)
+    lut_sym, lut_len, L = build_decode_lut(h.codes)
+    n_cap = 100
+    cap_words = (n_cap * L + 31) // 32 + 2
+    lane_counts = [0, 1, 37, 100]
+    payloads, syms_in = [], []
+    for n in lane_counts:
+        syms = rng.integers(0, 128, n).astype(np.int64)
+        words, _ = words_from_frame(h.encode(syms), cap_words)
+        payloads.append(words)
+        syms_in.append(syms)
+    out = jax.jit(huffman_decode_bits_scan,
+                  static_argnames=("n_cap", "max_len"))(
+        jnp.asarray(np.stack(payloads)),
+        jnp.asarray(np.asarray(lane_counts, np.int32)),
+        jnp.asarray(lut_sym), jnp.asarray(lut_len),
+        n_cap=n_cap, max_len=L)
+    out = np.asarray(out)
+    for lane, (n, syms) in enumerate(zip(lane_counts, syms_in)):
+        assert np.array_equal(out[lane, :n], syms)
+        assert not out[lane, n:].any()
+
+
+def test_unpack_impls_agree(codec, rng_module, monkeypatch):  # noqa: F811
+    """'scan' (TPU-fast) and 'rank' (fully parallel) receiver impls produce
+    identical reconstructions; the host path is the oracle."""
+    imgs = rng_module.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    encs = codec.encode_batch(imgs, 0.1, 0.4, device_pack=True)
+    host = codec.decode_batch(encs)
+    for impl in ("scan", "rank"):
+        monkeypatch.setenv("CONTROL_GIC_UNPACK_IMPL", impl)
+        dev = codec.decode_batch(encs, device_unpack=True)
+        np.testing.assert_allclose(dev, host, atol=1e-6, err_msg=impl)
+
+
 def test_bitmap_decode_matches_host(rng_module):  # noqa: F811
     b = BitmapCodec()
     for n in (1, 31, 32, 100):
