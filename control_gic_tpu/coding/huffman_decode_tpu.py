@@ -150,17 +150,19 @@ def huffman_decode_bits(payload: jnp.ndarray, count: jnp.ndarray,
 
 def huffman_decode_bits_scan(payloads: jnp.ndarray, counts: jnp.ndarray,
                              lut_sym: jnp.ndarray, lut_len: jnp.ndarray,
-                             n_cap: int, max_len: int) -> jnp.ndarray:
+                             n_cap: int, max_len: int,
+                             unroll: int = 8) -> jnp.ndarray:
     """Batched sequential LUT-walk: decode S streams in lock-step lanes.
 
     The list-ranking decoder (huffman_decode_bits) is fully parallel but
     leans on large arbitrary gathers/scatters, which TPUs execute slowly
     (measured ~0.7 s/batch at the 256² codec shape — worse than the wire
     bytes it saves). This variant accepts the serial chain over SYMBOLS
-    (n_cap lax.scan steps) but keeps each step tiny: one S-lane window
-    peek + one S-lane LUT gather, with the decoded symbol emitted as the
-    scan output (no scatter at all). At S=32 streams that is ~4k cheap
-    steps for the fine grid — milliseconds, not hundreds.
+    but keeps each step tiny: an S-lane window peek + S-lane LUT gather,
+    with decoded symbols emitted as scan outputs (no scatter at all).
+    `unroll` symbols are decoded per scan step to amortize the loop
+    overhead — measured on-chip (v5e, 32 lanes, 4096-symbol fine grid):
+    168 ms at unroll=1 -> ~35 ms at unroll=8 (incl. dispatch RTT).
 
     Args:
       payloads: [S, W] uint32 word blocks (guard word included).
@@ -170,8 +172,9 @@ def huffman_decode_bits_scan(payloads: jnp.ndarray, counts: jnp.ndarray,
     s, _ = payloads.shape
     if n_cap == 0:
         return jnp.zeros((s, 0), jnp.int32)
+    t_max = jnp.int32(n_cap * max_len)   # clamp: tail lanes re-read garbage
 
-    def step(off, _):
+    def one(off):
         wi = off >> 5
         bo = (off & 31).astype(jnp.uint32)
         w0 = jnp.take_along_axis(payloads, wi[:, None], axis=1)[:, 0]
@@ -179,12 +182,22 @@ def huffman_decode_bits_scan(payloads: jnp.ndarray, counts: jnp.ndarray,
         window = _shl(w0, bo) | jnp.where(bo == 0, jnp.uint32(0),
                                           _shr(w1, 32 - bo))
         idx = _shr(window, jnp.uint32(32 - max_len)).astype(jnp.int32)
-        sym = jnp.take(lut_sym, idx)
-        return off + jnp.take(lut_len, idx), sym
+        nxt = jnp.minimum(off + jnp.take(lut_len, idx), t_max)
+        return nxt, jnp.take(lut_sym, idx)
 
-    _, syms = jax.lax.scan(step, jnp.zeros((s,), jnp.int32), None,
-                           length=n_cap)
-    syms = syms.T                                        # [S, n_cap]
+    unroll = max(1, min(unroll, n_cap))
+
+    def step(off, _):
+        syms = []
+        for _ in range(unroll):
+            off, sym = one(off)
+            syms.append(sym)
+        return off, jnp.stack(syms)                      # [unroll, S]
+
+    steps = (n_cap + unroll - 1) // unroll
+    _, ys = jax.lax.scan(step, jnp.zeros((s,), jnp.int32), None,
+                         length=steps)
+    syms = ys.reshape(steps * unroll, s)[:n_cap].T       # [S, n_cap]
     return jnp.where(jnp.arange(n_cap)[None, :] < counts[:, None],
                      syms, 0).astype(jnp.int32)
 
