@@ -384,7 +384,19 @@ class CGICCodec:
                 pos += words.size
         guard = max(cw for _, _, cw, _ in caps) + 1
         blocks.append(np.zeros(guard, np.uint32))
-        return np.concatenate(blocks), offs
+        flat = np.concatenate(blocks)
+        # Pad to a quarter-octave size bucket: the flat buffer's length is
+        # data-dependent (it IS the compressed payload), and every distinct
+        # length would trigger a fresh XLA compile (~50 s over the remote
+        # tunnel — observed live as b_h2d_dispatch outliers). Buckets cap
+        # the shape count at ~4 per octave for <= 25% padding.
+        n = max(int(flat.size), 1024)
+        octave = 1 << (n.bit_length() - 1)
+        step = max(octave // 4, 256)
+        bucket = ((n + step - 1) // step) * step
+        out = np.zeros(bucket, np.uint32)
+        out[:flat.size] = flat
+        return out, offs
 
     # ---------------------------------------------------------------- encode
 
