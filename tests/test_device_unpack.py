@@ -149,5 +149,8 @@ def test_device_unpack_wire_bytes_are_compressed_size(codec,  # noqa: F811
     grid_bytes = codec._fused_decode_input(
         *[[np.zeros(s, np.int64) for _ in encs] for s in
           [(16, 16), (4, 4), (8, 8), (16, 16)]]).nbytes
-    assert flat.nbytes < payload + 4 * len(encs) * len(offs[0]) + 512
+    # payload + per-stream guard/word padding + the size-bucket floor
+    # (buckets avoid per-compressed-size recompiles; min bucket 4 KB)
+    raw = payload + 4 * len(encs) * len(offs[0]) + 512
+    assert flat.nbytes <= max(int(raw * 1.25) + 1024, 4096)
     assert flat.nbytes + offs.nbytes < grid_bytes / 4
