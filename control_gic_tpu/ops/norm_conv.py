@@ -375,32 +375,24 @@ def set_engagement_rule(fn) -> None:
     _RULE = fn
 
 
-def _default_rule(x_shape: Tuple[int, ...], cout: int) -> bool:
-    """Measured per-shape engagement policy (v5e, bf16, round-4 sweeps).
-
-    Standalone per-call A/B vs the XLA composition:
-      64²x512 -> 512 : 2.63 vs 3.23 ms  (kernel +19%)
-      128²x256 -> 256: 2.54 vs 3.17 ms  (kernel +20%)
-      256²x128 -> 128: 3.48 vs 3.23 ms  (kernel -8%)
-    and the round-3 tile-program numbers (DESIGN.md) where every engaged
-    shape >= 9M elems won. The losers share one signature: LARGE spatial
-    extent with the trunk's SMALLEST channel count (hw >= 256² at
-    cin <= 128) — there XLA's conv pipeline is at its best and the
-    kernel's halo/concat overhead is amortized worst. Engage everything
-    else that is big enough to matter (>= 512k elements)."""
-    _, h, w, c = x_shape
-    if h * w >= 65536 and c <= 128:
-        return False
-    return h * w * c >= (1 << 19)
+# Round-4 standalone per-call A/B vs the XLA composition (v5e bf16, for
+# future kernel work): 64²x512->512: 2.63 vs 3.23 ms (+19%); 128²x256->256:
+# 2.54 vs 3.17 (+20%); 256²x128->128: 3.48 vs 3.23 (-8%). These wins do
+# NOT survive in-model (see norm_conv_enabled).
 
 
 class force_norm_conv:
     """Engage the fused kernel for programs TRACED inside this context
     (still subject to `admissible` and the element gate), regardless of the
-    global opt-in. The tiled high-res codec (parallel/tiling.py) uses this:
-    the kernel's measured end-to-end win is specific to its 768px-tile
-    programs (see norm_conv_enabled's numbers). ContextVar-based, so
-    concurrent pipeline threads tracing other programs are unaffected."""
+    global opt-in. ContextVar-based, so concurrent pipeline threads tracing
+    other programs are unaffected.
+
+    History: the tiled high-res codec forced the kernel ON through round 3
+    (25% decode win on 768px-tile programs). After the round-4 SpatialNorm
+    broadcast rewrite (ops/fused_norm.spatial_norm_reference) the XLA path
+    caught up — re-measured A/B on the 2K tiled codec: kernel-forced
+    0.47-0.49 img/s vs all-XLA 0.49 (a wash within tunnel variance) — so
+    the force was removed and the kernel is opt-in everywhere."""
 
     def __enter__(self):
         self._tok = _FORCED.set(True)
@@ -414,23 +406,25 @@ class force_norm_conv:
 def norm_conv_enabled() -> bool:
     """Gate for the fused SpatialNorm/GroupNorm+swish+conv Pallas path.
 
-    Engagement policy (set by round-3 on-chip A/Bs; all numbers v5e bf16):
-      - 768px-TILE programs (the tiled high-res codec): kernel ON via
-        force_norm_conv — decode of six 768² tiles 1915 -> 1448 ms,
-        encode 367 -> 282 ms (~25% whole-program win; engaged shapes
-        192²x512 mids, 384²x256, 768²x128).
-      - whole-image programs: OPT-IN (CONTROL_GIC_NORM_CONV=1). At the
-        256² flagship shape every engagement loses (round 2: fused-
-        everywhere 96.6 img/s vs all-XLA 112.0; round 3 gated re-check
-        101.4 vs 104.4) and at the Kodak 512x768 shape too (decode
-        568 -> 691 ms; element-threshold sweeps 9M/16M/30M and a
-        [9M, 60M) band all lose to XLA's 11.9 img/s round-trip).
-    The asymmetry is XLA's, not the kernel's: the kernel runs at a
-    consistent ~220-260 ms/Mpx across shapes, while XLA's conv pipeline
-    is ~180 ms/Mpx at Kodak shapes but ~370 ms/Mpx at batch-6 768² tile
-    shapes — the kernel only wins where XLA is weak. Per-shape numbers:
-    tools/norm_conv_tune.py; correctness: tests/test_norm_conv.py
-    (interpret mode covers every shape on CPU).
+    Engagement policy: OPT-IN everywhere (CONTROL_GIC_NORM_CONV=1), OFF by
+    default, since round 4. History of the measurements that set this:
+      - Round 3: the kernel won ~25% end-to-end on 768px-tile programs
+        (decode 1915 -> 1448 ms) and lost at 256²/Kodak whole-image
+        shapes, so the tiled codec forced it ON (force_norm_conv).
+      - Round 4: trace analysis found the real whole-image bottleneck was
+        the SpatialNorm modulation lowering (f32 conv materialization);
+        after rewriting it as broadcast arithmetic
+        (fused_norm.spatial_norm_reference, rt256 105.9 -> 127.6 img/s),
+        the XLA path also caught up on tile programs (2K tiled codec:
+        kernel-forced 0.47-0.49 img/s vs all-XLA 0.49 — a wash), and
+        standalone per-call wins (64²x512: 2.63 vs 3.23 ms) still do not
+        survive in-model (every engagement rule measured 93-97 img/s vs
+        106 baseline at rt256 pre-rewrite) because the pallas_call
+        boundary blocks XLA's conv+stats+epilogue fusions.
+    The kernel remains correct (tests/test_norm_conv.py, interpret mode
+    covers every shape on CPU) and is the base for a future stats-in-
+    epilogue ResnetBlock kernel; per-shape harness: tools/norm_conv_tune.py
+    + set_engagement_rule for in-model policy A/Bs.
     """
     flag = os.environ.get("CONTROL_GIC_NORM_CONV", "")
     if flag == "interpret":

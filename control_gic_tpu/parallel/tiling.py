@@ -349,14 +349,12 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
         _tr(f"A{i} start (pad+H2D)")
         img_dev = jnp.asarray(pad_host(i))
         bufs = []
-        from ..ops.norm_conv import force_norm_conv
         for (th, tw), tyx in groups.items():
             offs = tuple((y, x) for _, y, x in tyx)
             fn = _encode_tiles_fn(codec, float(coarse_ratio),
                                   float(medium_ratio), offs, th, tw)
-            with force_norm_conv():   # kernel wins on tile programs
-                bufs.append(((th, tw), tyx, offs,
-                             fn(codec.variables, img_dev)))
+            bufs.append(((th, tw), tyx, offs,
+                         fn(codec.variables, img_dev)))
         _tr(f"A{i} dispatched")
         stats["a_upload_s"] += time.perf_counter() - t0
         stats["a_upload_bytes"] += getattr(images[i], "nbytes", 0)
@@ -387,7 +385,6 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                     for j in range(len(offs))]
             for (t, _, _), e in zip(tyx, encs):
                 bundles[t] = e
-            from ..ops.norm_conv import force_norm_conv
             if device_unpack:
                 flat, offtbl = codec._flat_stream_upload(encs)
                 stats["b_rebuild_s"] += time.perf_counter() - t0
@@ -399,9 +396,8 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                 fn = _decode_stitch_unpack_fn(codec, mode, offs, th, tw,
                                               out_uint8)
                 t0 = time.perf_counter()
-                with force_norm_conv():   # kernel wins on tile programs
-                    canvas = fn(codec.variables, canvas, jnp.asarray(flat),
-                                jnp.asarray(offtbl), lut_s, lut_l)
+                canvas = fn(codec.variables, canvas, jnp.asarray(flat),
+                            jnp.asarray(offtbl), lut_s, lut_l)
                 stats["b_h2d_dispatch_s"] += time.perf_counter() - t0
                 stats["b_h2d_bytes"] += flat.nbytes + offtbl.nbytes
             else:
@@ -412,9 +408,8 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                 stats["b_rebuild_s"] += time.perf_counter() - t0
                 fn = _decode_stitch_fn(codec, offs, th, tw, out_uint8)
                 t0 = time.perf_counter()
-                with force_norm_conv():   # kernel wins on tile programs
-                    canvas = fn(codec.variables, canvas,
-                                jnp.asarray(dec_in))
+                canvas = fn(codec.variables, canvas,
+                            jnp.asarray(dec_in))
                 stats["b_h2d_dispatch_s"] += time.perf_counter() - t0
                 stats["b_h2d_bytes"] += dec_in.nbytes
         try:  # start the D2H as soon as the last stitch finishes

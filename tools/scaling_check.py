@@ -5,14 +5,116 @@ On a real pod slice this measures the ICI scaling efficiency north-star
 mesh — useful as a correctness/regression harness for the sharded step, not
 as a performance statement (virtual devices share 2 physical cores).
 
+--multiproc additionally runs the TWO-PROCESS jax.distributed form (the
+2-host pod simulation): 1 process x 2 devices vs 2 processes x 1 device,
+same global batch, same fused train step, gradient/counter psums crossing
+the process boundary. The reported efficiency isolates the multi-process
+mechanism overhead (distributed init, cross-process collectives, global
+array assembly) at equal physical core count — honest label: CPU-mesh
+mechanism evidence for the >=85%-to-2-hosts target, not TPU performance.
+
 Usage: python tools/scaling_check.py [--devices 1 2 4 8] [--steps 3]
+       python tools/scaling_check.py --multiproc [--steps 10]
 """
 import argparse
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_MP_WORKER = r'''
+import os, sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", int(sys.argv[2]))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np
+
+pid = int(sys.argv[1])
+nloc = int(sys.argv[2])
+nproc = int(sys.argv[3])
+steps = int(sys.argv[4])
+port = sys.argv[5]
+if nproc > 1:
+    from control_gic_tpu.parallel.multihost import initialize_multihost
+    initialize_multihost(coordinator_address=f"127.0.0.1:{port}",
+                         num_processes=nproc, process_id=pid)
+
+from control_gic_tpu.models.cgic import CGICConfig
+from control_gic_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                           replicated_sharding)
+from control_gic_tpu.train import TrainConfig, Trainer, create_train_state
+
+cfg = CGICConfig(n_embed=64, embed_dim=4, z_channels=4, ch=32,
+                 ch_mult=(1, 1, 2, 2, 2), num_res_blocks=1,
+                 attn_resolutions=(8,), resolution=64)
+tcfg = TrainConfig()
+mesh = make_mesh()              # all global devices
+trainer = Trainer(cfg, tcfg, mesh=mesh, data_sharding=data_sharding(mesh))
+state = create_train_state(jax.random.PRNGKey(0), cfg, tcfg, image_size=64)
+state = jax.tree.map(lambda a: np.asarray(a), state)
+state = jax.device_put(state, replicated_sharding(mesh))
+
+rng = np.random.default_rng(42)
+gbatch = jax.device_count()      # 1 image / device
+local = rng.uniform(-1, 1, (nloc, 64, 64, 3)).astype(np.float32)
+if nproc > 1:
+    x = jax.make_array_from_process_local_data(
+        data_sharding(mesh), local, (gbatch, 64, 64, 3))
+else:
+    x = jax.device_put(rng.uniform(-1, 1, (gbatch, 64, 64, 3))
+                       .astype(np.float32), data_sharding(mesh))
+
+state, m = trainer.train_step(state, x)        # compile + warm
+jax.block_until_ready(state.gen_params)
+t0 = time.perf_counter()
+for _ in range(steps):
+    state, m = trainer.train_step(state, x)
+jax.block_until_ready(state.gen_params)
+dt = (time.perf_counter() - t0) / steps
+print(f"RESULT pid={pid} ips={gbatch/dt:.4f} step_ms={dt*1e3:.1f} "
+      f"counters={int(jax.device_get(state.codebook_counts).sum())}")
+'''
+
+
+def run_multiproc(steps: int) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "_mp_worker_gen.py")
+    with open(worker, "w") as f:
+        f.write(_MP_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(here)
+    port = str(12600 + os.getpid() % 1000)
+
+    def launch(nloc, nproc):
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), str(nloc), str(nproc),
+             str(steps), port], stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, env=env) for i in range(nproc)]
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, o in zip(procs, outs):
+            assert p.returncode == 0, o[-2000:]
+        ips = [float(line.split("ips=")[1].split()[0])
+               for o in outs for line in o.splitlines()
+               if line.startswith("RESULT")]
+        return ips
+
+    print("1 process x 2 devices (baseline)...")
+    base = launch(2, 1)[0]
+    print(f"  {base:.3f} img/s")
+    print("2 processes x 1 device (jax.distributed)...")
+    two = launch(1, 2)
+    print(f"  {two[0]:.3f} img/s (proc reports: {two})")
+    eff = two[0] / base
+    print(f"two-process efficiency vs single-process at equal devices: "
+          f"{eff:.1%}")
+    print("NOTE: CPU-mesh mechanism evidence (2 cores shared), not a TPU "
+          "performance statement.")
+    os.remove(worker)
 
 
 def main():
@@ -22,7 +124,14 @@ def main():
     p.add_argument("--per-device-batch", type=int, default=1)
     p.add_argument("--cpu", action="store_true",
                    help="force the virtual CPU mesh (default if no TPU)")
+    p.add_argument("--multiproc", action="store_true",
+                   help="two-process jax.distributed vs single-process "
+                        "at equal device count")
     args = p.parse_args()
+
+    if args.multiproc:
+        run_multiproc(args.steps)
+        return
 
     import jax
     if args.cpu or True:  # only CPU multi-device exists on this box
