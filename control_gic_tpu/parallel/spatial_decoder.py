@@ -222,9 +222,19 @@ def decode_spatial_sharded(mesh: Mesh, decoder_params, z, zq, masks, *,
         if i_level != 0:
             curr_res *= 2
 
+    fn = _decode_fn_cached(mesh, axis, ch, tuple(ch_mult), num_res_blocks,
+                           frozenset(attn_levels))
+    return fn(z, zq, m_c, m_m, m_f, decoder_params)
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_fn_cached(mesh, axis, ch, ch_mult, num_res_blocks, attn_levels):
+    """Jitted shard_map, cached per static config: rebuilding the closure
+    each call forced a FULL retrace+recompile per invocation (the round-4
+    on-TPU smoke measured a 748 s 'warm' call before this cache)."""
     body = functools.partial(
-        _decoder_shard, axis_name=axis, ch=ch, ch_mult=tuple(ch_mult),
-        num_res_blocks=num_res_blocks, attn_levels=frozenset(attn_levels))
+        _decoder_shard, axis_name=axis, ch=ch, ch_mult=ch_mult,
+        num_res_blocks=num_res_blocks, attn_levels=attn_levels)
 
     sh = P(None, axis, None, None)     # NHWC, H sharded
     shm = P(None, axis, None)          # mask [B, h, w]
@@ -232,8 +242,7 @@ def decode_spatial_sharded(mesh: Mesh, decoder_params, z, zq, masks, *,
     # body cannot declare per-axis varying-ness (jax requires `vma` on its
     # ShapeDtypeStruct outputs under check_vma) — hit on real TPU only,
     # where flash engages; the einsum fallback on CPU never trips it.
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(sh, sh, shm, shm, shm, P()),
-        out_specs=sh, check_vma=False)
-    return fn(z, zq, m_c, m_m, m_f, decoder_params)
+        out_specs=sh, check_vma=False))

@@ -19,6 +19,7 @@ of downsampling + coarse-mask alignment).
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -202,12 +203,23 @@ def encode_spatial_sharded(mesh: Mesh, encoder_params, quant_conv_params,
         if i_level != num_res - 1:
             curr_res //= 2
 
+    fn = _encode_fn_cached(mesh, axis, ch, tuple(ch_mult), num_res_blocks,
+                           frozenset(attn_levels), float(coarse_ratio),
+                           float(medium_ratio))
+    idx, m_c, m_m, m_f = fn(x, encoder_params, quant_conv_params, codebook)
+    return idx, (m_c, m_m, m_f)
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_fn_cached(mesh, axis, ch, ch_mult, num_res_blocks, attn_levels,
+                      coarse_ratio, medium_ratio):
+    """Jitted shard_map, cached per static config (see
+    spatial_decoder._decode_fn_cached — rebuilding per call recompiled)."""
     def body(x, enc_params, qc_params, cb):
         fused, m_c, m_m, m_f = _encoder_shard(
-            x, enc_params, cb, axis_name=axis, ch=ch, ch_mult=tuple(ch_mult),
-            num_res_blocks=num_res_blocks, attn_levels=frozenset(attn_levels),
-            coarse_ratio=float(coarse_ratio),
-            medium_ratio=float(medium_ratio))
+            x, enc_params, cb, axis_name=axis, ch=ch, ch_mult=ch_mult,
+            num_res_blocks=num_res_blocks, attn_levels=attn_levels,
+            coarse_ratio=coarse_ratio, medium_ratio=medium_ratio)
         z = _conv(fused, {"kernel": qc_params["kernel"],
                           "bias": qc_params["bias"]})
         idx = vq_lookup(z, cb)
@@ -215,10 +227,8 @@ def encode_spatial_sharded(mesh: Mesh, encoder_params, quant_conv_params,
 
     sh = P(None, axis, None, None)
     shm = P(None, axis, None)
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(sh, P(), P(), P()),
         out_specs=(shm, shm, shm, shm),
-        check_vma=False)  # see spatial_decoder: pallas flash under shard_map
-    idx, m_c, m_m, m_f = fn(x, encoder_params, quant_conv_params, codebook)
-    return idx, (m_c, m_m, m_f)
+        check_vma=False))  # see spatial_decoder: pallas flash in shard_map
