@@ -60,6 +60,9 @@ def get_parser():
     p.add_argument("--ckpt-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize blocks under grad (fit the 130M "
+                        "config at batch>=4 on one chip)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--log-dir", type=str, default="./logs")
@@ -137,7 +140,8 @@ def _run(args, resume: bool, attempt: int = 0):
                                         coarse_ratio=args.ratios[0],
                                         medium_ratio=args.ratios[1])
     else:
-        model_cfg = CGICConfig(resolution=args.image_size, dtype=args.dtype)
+        model_cfg = CGICConfig(resolution=args.image_size, dtype=args.dtype,
+                               remat=args.remat)
         train_cfg = TrainConfig(learning_rate=args.lr,
                                 coarse_ratio=args.ratios[0],
                                 medium_ratio=args.ratios[1])
