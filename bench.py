@@ -239,6 +239,22 @@ def main():
         pipelined = cbatch * n / (_now() - t0)
         recs[-1].sum()
         diag["pipeline"] = _stage_summary(codec.last_pipeline_stats, n)
+        # device-receiver variant: bitstreams decoded ON device (scan LUT
+        # walk), H2D is the compressed payload instead of decoded grids
+        if codec._decode_tables is not None:
+            imgs_d = u8_imgs((cbatch, 256, 256, 3), n)
+            codec.roundtrip_pipelined(imgs_d[:1], 0.1, 0.4,
+                                      device_pack=True, out_uint8=True,
+                                      device_unpack=True)   # warm compile
+            t0 = _now()
+            recs, _ = codec.roundtrip_pipelined(imgs_d, 0.1, 0.4,
+                                                device_pack=True,
+                                                out_uint8=True,
+                                                device_unpack=True)
+            diag["devrx_img_s"] = round(cbatch * n / (_now() - t0), 3)
+            recs[-1].sum()
+            diag["devrx_pipeline"] = _stage_summary(
+                codec.last_pipeline_stats, n)
         return pipelined, serial, codec, diag
 
     codec = None

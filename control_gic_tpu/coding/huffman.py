@@ -121,10 +121,17 @@ class HuffmanCodec:
 
     def _prepare_tables(self):
         n = self.n_sym
+        max_len = max((len(c) for c in self.codes.values()), default=0)
+        # Degenerate frequency tables — e.g. counters with a long zero
+        # tail from a briefly-trained codebook (the reference feeds ALL
+        # 1024 counter entries to the heap, indices_coding.py:46-48, so
+        # unused symbols chain into codes up to n_sym-1 bits) — exceed
+        # the C++ encoder's fixed 32-byte code stride; size the table to
+        # the actual max and route encode through the Python path then.
+        self.code_stride = max(self.MAX_CODE_BYTES, (max_len + 7) // 8)
         self.lens = np.zeros(n, np.uint16)
-        self.code_bytes = np.zeros((n, self.MAX_CODE_BYTES), np.uint8)
+        self.code_bytes = np.zeros((n, self.code_stride), np.uint8)
         for sym, code in self.codes.items():
-            assert len(code) <= self.MAX_CODE_BYTES * 8, "code too long"
             self.lens[sym] = len(code)
             for i, bit in enumerate(code):
                 if bit == "1":
@@ -153,7 +160,8 @@ class HuffmanCodec:
         symbols = np.asarray(symbols, np.int32).reshape(-1)
         if symbols.size == 0:
             return b""
-        if self._native is not None:
+        if self._native is not None and \
+                self.code_stride == self.MAX_CODE_BYTES:
             out = self._native.huff_encode(symbols, self.lens,
                                            self.code_bytes)
             if out is not None:

@@ -177,3 +177,27 @@ def test_from_counts_matches_parameterdict_order(rng):
         p = ref.compress(torch.tensor(syms), os.path.join(d, "s.bin"))
         with open(p, "rb") as f:
             assert ours.encode(syms) == f.read()
+
+
+def test_degenerate_zero_tail_counters_roundtrip():
+    """Counters with a long zero tail (a briefly-trained codebook) chain
+    unused symbols into codes of many hundreds of bits — beyond the C++
+    encoder's 32-byte stride. The codec must still round-trip (Python
+    encode path + trie decode); found live by training 1200 steps then
+    running the infer CLI (round 4)."""
+    import numpy as np
+    from control_gic_tpu.coding import HuffmanCodec
+
+    counts = np.zeros(1024, np.int64)
+    counts[:40] = np.arange(1, 41)          # only 40 codes ever used
+    h = HuffmanCodec.from_counts(counts)
+    max_len = max(len(c) for c in h.codes.values())
+    assert max_len > 256, max_len           # the degenerate regime
+    syms = np.asarray([0, 5, 39, 1, 39, 0], np.int64)
+    frame = h.encode(syms)
+    assert h.decode(frame) == list(syms)
+    # a rare-symbol stream (one of the absurdly long codes) works too
+    h2 = HuffmanCodec.from_counts(np.concatenate([[1000, 900], np.zeros(1022, np.int64)]))
+    rare = max(h2.codes, key=lambda s: len(h2.codes[s]))
+    frame2 = h2.encode(np.asarray([rare, 0, rare]))
+    assert h2.decode(frame2) == [rare, 0, rare]
