@@ -59,3 +59,22 @@ def test_two_process_psum(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
     assert all("OK global_devices=2" in o for o in outs), outs
+
+
+@pytest.mark.slow
+def test_multiproc_scaling_harness():
+    """The two-process train-step scaling harness (tools/scaling_check.py
+    --multiproc) runs end to end and reports an efficiency figure (CPU-mesh
+    mechanism evidence for the >=85%-to-2-hosts target; round-4 recorded
+    30.4% at 1 img/device, 77.0% at 8 — fixed cross-process collective
+    latency amortized by per-step work)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root
+    env["MP_PER_DEV"] = "2"
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "scaling_check.py"),
+         "--multiproc", "--steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "two-process efficiency" in out.stdout, out.stdout

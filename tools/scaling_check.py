@@ -60,8 +60,9 @@ state = jax.tree.map(lambda a: np.asarray(a), state)
 state = jax.device_put(state, replicated_sharding(mesh))
 
 rng = np.random.default_rng(42)
-gbatch = jax.device_count()      # 1 image / device
-local = rng.uniform(-1, 1, (nloc, 64, 64, 3)).astype(np.float32)
+per_dev = int(os.environ.get("MP_PER_DEV", "1"))
+gbatch = jax.device_count() * per_dev
+local = rng.uniform(-1, 1, (nloc * per_dev, 64, 64, 3)).astype(np.float32)
 if nproc > 1:
     x = jax.make_array_from_process_local_data(
         data_sharding(mesh), local, (gbatch, 64, 64, 3))
