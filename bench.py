@@ -86,7 +86,7 @@ def wire_probe(jax, mb: int = 8):
     t0 = _now()
     for _ in range(4):
         _np.asarray(jax.device_put(small))
-    rtt_ms = (_now() - t0) / 4 * 1e3 / 2   # one-way legs per round-trip
+    rtt_ms = (_now() - t0) / 4 * 1e3       # one full round trip (up + down)
     t0 = _now()
     d = jax.device_put(buf)
     d.block_until_ready()

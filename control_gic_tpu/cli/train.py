@@ -134,8 +134,9 @@ def _run(args, resume: bool, attempt: int = 0):
         import dataclasses
         from ..config import load_config
         run_cfg = load_config(args.config)
-        model_cfg = dataclasses.replace(run_cfg.model,
-                                        resolution=args.image_size)
+        model_cfg = dataclasses.replace(
+            run_cfg.model, resolution=args.image_size,
+            remat=args.remat or run_cfg.model.remat)
         train_cfg = dataclasses.replace(run_cfg.train,
                                         coarse_ratio=args.ratios[0],
                                         medium_ratio=args.ratios[1])

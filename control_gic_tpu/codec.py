@@ -39,6 +39,7 @@ import numpy as np
 
 from .coding import BitmapCodec, HuffmanCodec
 from .coding.huffman_decode_tpu import (bitmap_decode_bits, build_decode_lut,
+                                        frame_body_words,
                                         huffman_decode_bits,
                                         huffman_decode_bits_scan,
                                         supports_decode_table)
@@ -150,7 +151,11 @@ def unpack_impl() -> str:
       'rank': the fully-parallel jump-pointer list-ranking decoder —
         no serial chain at all; wins where gathers are cheap.
     Override with CONTROL_GIC_UNPACK_IMPL."""
-    return os.environ.get("CONTROL_GIC_UNPACK_IMPL", "scan")
+    impl = os.environ.get("CONTROL_GIC_UNPACK_IMPL", "scan")
+    if impl not in ("scan", "rank"):
+        raise ValueError(f"CONTROL_GIC_UNPACK_IMPL must be 'scan' or "
+                         f"'rank', got {impl!r}")
+    return impl
 
 
 def make_rebuild_batch(L: int, mode: int, hl: int, wl: int,
@@ -333,6 +338,15 @@ class CGICCodec:
     def _unpack_caps(self, mode: int, hl: int, wl: int):
         return unpack_caps(self._decode_tables[2], mode, hl, wl)
 
+    def _decode_luts_on_device(self):
+        """Lazily device-put the decode LUTs once (they are 2^L entries;
+        re-uploading per call would cost the wire)."""
+        if self._decode_tables_dev is None:
+            lut_sym, lut_len, _ = self._decode_tables
+            self._decode_tables_dev = (jnp.asarray(lut_sym),
+                                       jnp.asarray(lut_len))
+        return self._decode_tables_dev
+
     def _decode_unpack_fn(self, mode: int, hl: int, wl: int, out_uint8: bool):
         """Fully-device receiver: ONE flat uint32 buffer holding every
         image's raw bitstream words (the actual few-KB compressed payload)
@@ -374,10 +388,7 @@ class CGICCodec:
         pos = 0
         for i, e in enumerate(encoded):
             for s, (name, _, cw, _) in enumerate(caps):
-                frame = e.streams[name]
-                body = frame[1:] if len(frame) else b""
-                raw = body + b"\x00" * (-len(body) % 4)
-                words = np.frombuffer(raw, np.uint32).byteswap()
+                words, _ = frame_body_words(e.streams[name])
                 assert words.size <= cw, (name, words.size, cw)
                 offs[i, s] = pos
                 blocks.append(words)
@@ -676,11 +687,7 @@ class CGICCodec:
         t0 = time.perf_counter()
         flat, offs = self._flat_stream_upload(encoded)
         t1 = time.perf_counter()
-        if self._decode_tables_dev is None:
-            lut_sym, lut_len, _ = self._decode_tables
-            self._decode_tables_dev = (jnp.asarray(lut_sym),
-                                       jnp.asarray(lut_len))
-        lut_s, lut_l = self._decode_tables_dev
+        lut_s, lut_l = self._decode_luts_on_device()
         out = self._decode_unpack_fn(mode, hl, wl, out_uint8)(
             self.variables, jnp.asarray(flat), jnp.asarray(offs),
             lut_s, lut_l)

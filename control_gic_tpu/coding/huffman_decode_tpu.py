@@ -210,19 +210,24 @@ def bitmap_decode_bits(payload: jnp.ndarray, n: int) -> jnp.ndarray:
     return ((w >> (31 - (p & 31)).astype(jnp.uint32)) & 1).astype(jnp.int32)
 
 
-def words_from_frame(frame: bytes, cap_words: int) -> Tuple[np.ndarray, int]:
-    """Host: strip the 8-bit pad header, return (payload words [cap_words]
-    uint32 MSB-first zero-padded, total_bits). Inverse of
-    frame_from_words."""
-    out = np.zeros(cap_words, np.uint32)
+def frame_body_words(frame: bytes) -> Tuple[np.ndarray, int]:
+    """Host: strip the 8-bit pad header, return the compact payload words
+    (uint32, MSB-first bit order — big-endian byteswap of the body bytes)
+    and total_bits. The single inversion of frame_from_words' framing."""
     if len(frame) == 0:
-        return out, 0
+        return np.zeros(0, np.uint32), 0
     pad = frame[0]
     assert 1 <= pad <= 8, pad
     body = frame[1:]
     total_bits = len(body) * 8 - pad
     raw = body + b"\x00" * (-len(body) % 4)
-    words = np.frombuffer(raw, np.uint32).byteswap()
+    return np.frombuffer(raw, np.uint32).byteswap(), total_bits
+
+
+def words_from_frame(frame: bytes, cap_words: int) -> Tuple[np.ndarray, int]:
+    """frame_body_words zero-padded to a fixed [cap_words] buffer."""
+    words, total_bits = frame_body_words(frame)
     assert words.size <= cap_words, (words.size, cap_words)
+    out = np.zeros(cap_words, np.uint32)
     out[:words.size] = words
     return out, total_bits

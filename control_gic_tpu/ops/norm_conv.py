@@ -365,14 +365,18 @@ _FORCED = __import__("contextvars").ContextVar(
 
 # Optional pluggable engagement predicate (x_shape, cout) -> bool. When
 # set, it REPLACES the element-count gate (admissibility still applies).
-# Used by on-chip A/B harnesses to measure per-shape policies in-model;
-# the shipped default policy lives in _default_rule below.
-_RULE = None
+# Used by on-chip A/B harnesses to measure per-shape policies in-model.
+# ContextVar (like _FORCED) so concurrent pipeline threads tracing other
+# programs are unaffected. NOTE: the rule is consulted at TRACE time and
+# is not part of any jit-cache key — harnesses must build fresh jit
+# wrappers per rule (cached executables keep the policy they were traced
+# under).
+_RULE = __import__("contextvars").ContextVar(
+    "control_gic_norm_conv_rule", default=None)
 
 
 def set_engagement_rule(fn) -> None:
-    global _RULE
-    _RULE = fn
+    _RULE.set(fn)
 
 
 # Round-4 standalone per-call A/B vs the XLA composition (v5e bf16, for
@@ -450,8 +454,9 @@ def norm_conv_worthwhile(x_shape: Tuple[int, ...], cout: int) -> bool:
         return False
     if _interpret_forced():
         return True
-    if _RULE is not None:
-        return bool(_RULE(x_shape, cout))
+    rule = _RULE.get()
+    if rule is not None:
+        return bool(rule(x_shape, cout))
     return (x_shape[1] * x_shape[2] * x_shape[3]) >= _fuse_min_elems()
 
 

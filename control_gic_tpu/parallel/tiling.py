@@ -234,7 +234,7 @@ def _decode_stitch_unpack_fn(codec: CGICCodec, mode: int, offsets: tuple,
                              th: int, tw: int, out_uint8: bool):
     """Jitted: (canvas, flat bitstream words, word-offset table) -> canvas
     with the tiles decoded ON DEVICE (parallel Huffman decode + grid
-    rebuild, codec.make_rebuild_one) and stitched at `offsets`. The
+    rebuild, codec.make_rebuild_batch) and stitched at `offsets`. The
     receiver H2D is the compressed payload itself."""
     import jax
     import jax.numpy as jnp
@@ -388,11 +388,7 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
             if device_unpack:
                 flat, offtbl = codec._flat_stream_upload(encs)
                 stats["b_rebuild_s"] += time.perf_counter() - t0
-                if codec._decode_tables_dev is None:
-                    lut_sym, lut_len, _ = codec._decode_tables
-                    codec._decode_tables_dev = (jnp.asarray(lut_sym),
-                                                jnp.asarray(lut_len))
-                lut_s, lut_l = codec._decode_tables_dev
+                lut_s, lut_l = codec._decode_luts_on_device()
                 fn = _decode_stitch_unpack_fn(codec, mode, offs, th, tw,
                                               out_uint8)
                 t0 = time.perf_counter()

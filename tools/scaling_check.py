@@ -83,9 +83,10 @@ print(f"RESULT pid={pid} ips={gbatch/dt:.4f} step_ms={dt*1e3:.1f} "
 
 
 def run_multiproc(steps: int) -> None:
+    import tempfile
     here = os.path.dirname(os.path.abspath(__file__))
-    worker = os.path.join(here, "_mp_worker_gen.py")
-    with open(worker, "w") as f:
+    fd, worker = tempfile.mkstemp(suffix="_mp_worker.py")
+    with os.fdopen(fd, "w") as f:
         f.write(_MP_WORKER)
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(here)
@@ -104,18 +105,20 @@ def run_multiproc(steps: int) -> None:
                if line.startswith("RESULT")]
         return ips
 
-    print("1 process x 2 devices (baseline)...")
-    base = launch(2, 1)[0]
-    print(f"  {base:.3f} img/s")
-    print("2 processes x 1 device (jax.distributed)...")
-    two = launch(1, 2)
-    print(f"  {two[0]:.3f} img/s (proc reports: {two})")
-    eff = two[0] / base
-    print(f"two-process efficiency vs single-process at equal devices: "
-          f"{eff:.1%}")
-    print("NOTE: CPU-mesh mechanism evidence (2 cores shared), not a TPU "
-          "performance statement.")
-    os.remove(worker)
+    try:
+        print("1 process x 2 devices (baseline)...")
+        base = launch(2, 1)[0]
+        print(f"  {base:.3f} img/s")
+        print("2 processes x 1 device (jax.distributed)...")
+        two = launch(1, 2)
+        print(f"  {two[0]:.3f} img/s (proc reports: {two})")
+        eff = two[0] / base
+        print(f"two-process efficiency vs single-process at equal "
+              f"devices: {eff:.1%}")
+        print("NOTE: CPU-mesh mechanism evidence (2 cores shared), not a "
+              "TPU performance statement.")
+    finally:
+        os.remove(worker)
 
 
 def main():
