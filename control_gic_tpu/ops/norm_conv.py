@@ -133,6 +133,230 @@ def _kernel(*refs, act_swish: bool, modulate: bool, bh: int,
     o_ref[0] = (acc + cb_ref[0]).reshape(bh, w, co).astype(o_ref.dtype)
 
 
+def _kernel_res_mom(x_ref, xp_ref, xn_ref, zq_ref, zqp_ref, zqn_ref,
+                    mean_ref, rstd_ref, gs_ref, gb_ref, wy_ref, by_ref,
+                    wb_ref, bb_ref, cw_ref, cb_ref, res_ref, o_ref,
+                    mom_ref, *, act_swish: bool, bh: int, w: int,
+                    cin: int, co: int, nh: int):
+    """SpatialNorm(+swish)+conv with a fused RESIDUAL add and the next
+    norm's MOMENTS (per-channel sum/sumsq of the final output) emitted
+    from the epilogue — the stats-in-epilogue ResnetBlock formulation.
+
+    Motivation (round-4 trace analysis): after the broadcast-norm rewrite
+    the 256² round-trip is bandwidth-bound on conv+stats+epilogue traffic
+    at ~2 read-write passes per conv; chaining kernels that consume the
+    PREVIOUS op's moments and emit their own reaches ~1RW per conv. This
+    kernel is the building block (correctness-complete, interpret-tested);
+    module integration/threading of moments between blocks is future work.
+    """
+    from jax.experimental import pallas as pl
+
+    ib = pl.program_id(0)
+    ih = pl.program_id(2)
+
+    mean = mean_ref[ib]
+    scale = rstd_ref[ib] * gs_ref[0]
+    beta = gb_ref[0]
+    wy = wy_ref[...].astype(jnp.float32)
+    wb = wb_ref[...].astype(jnp.float32)
+    by = by_ref[0]
+    bb = bb_ref[0]
+    cdtype = x_ref.dtype
+
+    def act(xv, zv):
+        out = (xv.astype(jnp.float32) - mean) * scale + beta
+        zf = zv.astype(jnp.float32)
+        y = jnp.dot(zf, wy, preferred_element_type=jnp.float32) + by
+        bm = jnp.dot(zf, wb, preferred_element_type=jnp.float32) + bb
+        out = out * y + bm
+        if act_swish:
+            out = out * (1.0 / (1.0 + jnp.exp(-out)))
+        return out.astype(cdtype)
+
+    a_mid = act(x_ref[0], zq_ref[0])
+    a_top = jnp.where(ih > 0, act(xp_ref[0], zqp_ref[0]), 0).astype(cdtype)
+    a_bot = jnp.where(ih < nh - 1,
+                      act(xn_ref[0], zqn_ref[0]), 0).astype(cdtype)
+    a = jnp.concatenate([a_top, a_mid, a_bot], axis=0)
+    zcol = jnp.zeros((bh + 2, 1, cin), cdtype)
+    a = jnp.concatenate([zcol, a, zcol], axis=1)
+
+    acc = jnp.zeros((bh * w, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = a[dy:dy + bh, dx:dx + w, :].reshape(bh * w, cin)
+            acc += jnp.dot(sl, cw_ref[dy * 3 + dx],
+                           preferred_element_type=jnp.float32)
+    out = (acc + cb_ref[0]).reshape(bh, w, co) \
+        + res_ref[0].astype(jnp.float32)
+    out_c = out.astype(o_ref.dtype)
+    o_ref[0] = out_c
+
+    # moments of the STORED (dtype-rounded) output — exactly what the next
+    # norm's stats pass would read — accumulated across row blocks
+    @pl.when(ih == 0)
+    def _init():
+        mom_ref[...] = jnp.zeros_like(mom_ref)
+
+    of = out_c.astype(jnp.float32)
+    mom_ref[0, 0, :] += jnp.sum(of, axis=(0, 1))
+    mom_ref[0, 1, :] += jnp.sum(of * of, axis=(0, 1))
+
+
+def norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
+                                    cw, cb, res, act_swish: bool = True):
+    """Unfused composition (custom-VJP backward + CPU path): SpatialNorm
+    (+swish) -> 3x3 conv -> +residual, plus (sum, sumsq) [B, 2, Cout] of
+    the dtype-rounded output."""
+    out = _conv3x3(spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
+                                           act_swish), cw, cb)
+    out = (out.astype(jnp.float32)
+           + res.astype(jnp.float32)).astype(x.dtype)
+    of = out.astype(jnp.float32)
+    mom = jnp.stack([of.sum(axis=(1, 2)),
+                     (of * of).sum(axis=(1, 2))], axis=1)
+    return out, mom
+
+
+def spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
+                            act_swish: bool):
+    """The kernel's activation math in jnp (f32 dot-form modulation —
+    matches _kernel/_kernel_res_mom numerics, NOT the broadcast-form
+    spatial_norm_reference used by the unfused model path)."""
+    mean, rstd = _gn_stats(x, GROUPS)
+    cg = x.shape[-1] // GROUPS
+    mean_c = jnp.repeat(mean, cg, axis=1)[:, None, None, :]
+    rstd_c = jnp.repeat(rstd, cg, axis=1)[:, None, None, :]
+    out = ((x.astype(jnp.float32) - mean_c)
+           * (rstd_c * gs.astype(jnp.float32)) + gb.astype(jnp.float32))
+    zf = zq_r.astype(jnp.float32)
+    y = zf @ wy.astype(jnp.float32) + by.astype(jnp.float32)
+    bm = zf @ wb.astype(jnp.float32) + bb.astype(jnp.float32)
+    out = out * y + bm
+    if act_swish:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
+
+
+def _norm_conv_res_moments_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                                   res, act_swish: bool,
+                                   interpret: bool = False):
+    from jax.experimental import pallas as pl
+
+    b, h, w, cin = x.shape
+    cout = cw.shape[-1]
+    bh = _pick_bh(h, w, cin, x.dtype.itemsize)
+    co_blk = _pick_co(cout, cin, x.dtype.itemsize)
+    nh = h // bh
+    nco = cout // co_blk
+
+    rb = _row_block(h * w, cin)
+    if rb > 0 and not interpret:
+        mean_c, rstd_c = _gn_stats_pallas(x.reshape(b, h * w, cin), GROUPS,
+                                          rb, interpret=interpret)
+    else:
+        mean, rstd = _gn_stats(x, GROUPS)
+        cg = cin // GROUPS
+        mean_c = jnp.repeat(mean, cg, axis=1)
+        rstd_c = jnp.repeat(rstd, cg, axis=1)
+
+    xp, xn = _halo_rows(x, bh)
+    zp, zn = _halo_rows(zq_r, bh)
+    cwr = cw.reshape(9, cin, cout).astype(x.dtype)
+    f32 = jnp.float32
+    z = zq_r.shape[-1]
+
+    row4 = lambda ib, ico, ih: (ib, ih, 0, 0)
+    fixed2 = lambda ib, ico, ih: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, bh, w, cin), row4),
+        pl.BlockSpec((1, 1, w, cin), row4),
+        pl.BlockSpec((1, 1, w, cin), row4),
+        pl.BlockSpec((1, bh, w, z), row4),
+        pl.BlockSpec((1, 1, w, z), row4),
+        pl.BlockSpec((1, 1, w, z), row4),
+        pl.BlockSpec((b, cin), fixed2),
+        pl.BlockSpec((b, cin), fixed2),
+        pl.BlockSpec((1, cin), fixed2),
+        pl.BlockSpec((1, cin), fixed2),
+        pl.BlockSpec((z, cin), fixed2),
+        pl.BlockSpec((1, cin), fixed2),
+        pl.BlockSpec((z, cin), fixed2),
+        pl.BlockSpec((1, cin), fixed2),
+        pl.BlockSpec((9, cin, co_blk), lambda ib, ico, ih: (0, 0, ico)),
+        pl.BlockSpec((1, co_blk), lambda ib, ico, ih: (0, ico)),
+        pl.BlockSpec((1, bh, w, co_blk),
+                     lambda ib, ico, ih: (ib, ih, 0, ico)),   # residual
+    ]
+    operands = [x, xp, xn, zq_r, zp, zn, mean_c, rstd_c,
+                gs.astype(f32)[None], gb.astype(f32)[None],
+                wy.astype(f32), by.astype(f32)[None],
+                wb.astype(f32), bb.astype(f32)[None],
+                cwr, cb.astype(f32)[None], res]
+
+    kernel = functools.partial(_kernel_res_mom, act_swish=act_swish,
+                               bh=bh, w=w, cin=cin, co=co_blk, nh=nh)
+    out, mom = pl.pallas_call(
+        kernel,
+        grid=(b, nco, nh),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bh, w, co_blk),
+                         lambda ib, ico, ih: (ib, ih, 0, ico)),
+            pl.BlockSpec((1, 2, co_blk),
+                         lambda ib, ico, ih: (ib, 0, ico)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+                   jax.ShapeDtypeStruct((b, 2, cout), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+    return out, mom
+
+
+def _make_norm_conv_res_moments(act_swish: bool, interpret: bool = False):
+    @jax.custom_vjp
+    def fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res):
+        return _norm_conv_res_moments_forward(
+            x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, act_swish,
+            interpret=interpret)
+
+    def fwd(*args):
+        return fn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(
+            lambda *a: norm_conv_res_moments_reference(
+                *a, act_swish=act_swish), *args)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+_NC_RES_MOM_SWISH = _make_norm_conv_res_moments(True)
+_NC_RES_MOM_SWISH_I = _make_norm_conv_res_moments(True, interpret=True)
+
+
+def spatial_norm_conv_res_moments(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                                  res, act_swish: bool = True,
+                                  use_fused: Optional[bool] = None):
+    """SpatialNorm(+swish) -> 3x3 conv -> +residual, returning (out,
+    moments [B, 2, Cout]) — the ResnetBlock second half as ONE pass with
+    the NEXT norm's stats emitted from the epilogue. See _kernel_res_mom
+    for the motivation; reference composition off-TPU/inadmissible."""
+    if use_fused is None:
+        use_fused = (norm_conv_enabled()
+                     and admissible(x.shape, cw.shape[-1])
+                     and admissible(x.shape[:3] + (cw.shape[-1],),
+                                    cw.shape[-1]))
+    if use_fused:
+        fn = (_NC_RES_MOM_SWISH_I if _interpret_forced()
+              else _NC_RES_MOM_SWISH)
+        return fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res)
+    return norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
+                                           cw, cb, res, act_swish)
+
+
 def _pick_bh(h: int, w: int, cin: int = 128, itemsize: int = 2,
              target_bytes: int = 1 << 20) -> int:
     """Largest divisor of h with the [bh, W, Cin] input tile <= target_bytes.

@@ -224,3 +224,58 @@ def test_resnet_block_fused_wiring(rng, monkeypatch):
     got = block.apply(params, x, zq)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_res_moments_kernel_matches_reference(rng):
+    """The stats-in-epilogue building block (norm+conv+residual with the
+    next norm's moments emitted): kernel == reference composition for
+    output AND moments, across row blocking."""
+    from control_gic_tpu.ops.norm_conv import (
+        _norm_conv_res_moments_forward, norm_conv_res_moments_reference)
+
+    for h, w in [(16, 16), (32, 16)]:
+        args = _inputs(rng, h=h, w=w)
+        res = jnp.asarray(rng.normal(size=args[0].shape), args[0].dtype)
+        want_out, want_mom = norm_conv_res_moments_reference(
+            *args, res, act_swish=True)
+        got_out, got_mom = _norm_conv_res_moments_forward(
+            *args, res, act_swish=True, interpret=True)
+        np.testing.assert_allclose(got_out, want_out, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(got_mom, want_mom, atol=2e-3, rtol=1e-5)
+
+
+def test_res_moments_gradients_match_reference(rng):
+    """custom-VJP backward (reference recompute) == direct grads of the
+    reference, including gradient flow THROUGH the emitted moments."""
+    from control_gic_tpu.ops.norm_conv import (
+        _make_norm_conv_res_moments, norm_conv_res_moments_reference)
+
+    args = _inputs(rng, h=16, w=16)
+    res = jnp.asarray(rng.normal(size=args[0].shape), args[0].dtype)
+    fused = _make_norm_conv_res_moments(True, interpret=True)
+
+    def loss_f(f):
+        def inner(*a):
+            out, mom = f(*a)
+            return jnp.sum(out * out) + 1e-3 * jnp.sum(mom)
+        return inner
+
+    g_ref = jax.grad(loss_f(lambda *a: norm_conv_res_moments_reference(
+        *a, act_swish=True)), argnums=(0, 1, 8, 10))(*args, res)
+    g_fus = jax.grad(loss_f(fused), argnums=(0, 1, 8, 10))(*args, res)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-4)
+
+
+def test_res_moments_public_op_fallback(rng):
+    """spatial_norm_conv_res_moments: reference path off-TPU; moments
+    equal a direct stats pass over the output (the chaining contract)."""
+    from control_gic_tpu.ops.norm_conv import spatial_norm_conv_res_moments
+
+    args = _inputs(rng, h=16, w=16)
+    res = jnp.asarray(rng.normal(size=args[0].shape), args[0].dtype)
+    out, mom = spatial_norm_conv_res_moments(*args, res)
+    of = np.asarray(out, np.float32)
+    np.testing.assert_allclose(mom[:, 0], of.sum(axis=(1, 2)), rtol=1e-5)
+    np.testing.assert_allclose(mom[:, 1], (of * of).sum(axis=(1, 2)),
+                               rtol=1e-5)
