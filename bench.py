@@ -192,9 +192,11 @@ def main():
 
     def _stage_summary(stats, n_batches):
         """Compress codec.last_pipeline_stats into a compact per-batch-ms
-        record + achieved overlap (stage-sum over wall)."""
-        keys = ("a_upload_s", "b_fetch_s", "b_frame_s", "b_rebuild_s",
-                "b_h2d_dispatch_s", "c_fetch_s")
+        record + achieved overlap (stage-sum over wall). b_sync/c_sync are
+        "device still computing" waits; b_fetch/c_fetch are pure D2H wire
+        — the split that separates slow-encode from slow-tunnel."""
+        keys = ("a_upload_s", "b_sync_s", "b_fetch_s", "b_frame_s",
+                "b_rebuild_s", "b_h2d_dispatch_s", "c_sync_s", "c_fetch_s")
         out = {k[:-2] + "_ms": round(stats.get(k, 0.0) * 1e3 / n_batches, 1)
                for k in keys}
         wall = stats.get("wall_s", 0.0)
@@ -202,6 +204,8 @@ def main():
         out["wall_ms"] = round(wall * 1e3 / n_batches, 1)
         if wall > 0:
             out["overlap_x"] = round(ssum / wall, 2)
+        if "device_unpack" in stats:
+            out["device_unpack_engaged"] = int(stats["device_unpack"])
         return out
 
     def run_codec256():

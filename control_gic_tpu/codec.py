@@ -73,6 +73,12 @@ class CorruptStreamError(ValueError):
     """A bitstream decoded to an inconsistent symbol count for its mask."""
 
 
+def _acc(stats: Optional[dict], key: str, val: float) -> None:
+    """Accumulate into an optional stats dict (plain dicts welcome)."""
+    if stats is not None:
+        stats[key] = stats.get(key, 0.0) + val
+
+
 @dataclasses.dataclass
 class _PendingEncode:
     """Handle for an asynchronously dispatched encode (device arrays may
@@ -287,6 +293,8 @@ class CGICCodec:
         # set by roundtrip_pipelined: per-stage seconds/bytes of the last
         # pipelined run (threads write disjoint keys, so no lock needed)
         self.last_pipeline_stats: Dict[str, float] = {}
+        # which receiver the last decode_batch used: 'device' or 'host'
+        self.last_decode_path: Optional[str] = None
         self._decode_fn = jax.jit(
             lambda v, idx, masks: self.model.apply(
                 v, idx, masks, method=CGIC.decode_indices))
@@ -658,7 +666,8 @@ class CGICCodec:
 
     def decode_batch(self, encoded: List[EncodedImage], *,
                      out_uint8: bool = False,
-                     device_unpack: bool = False) -> np.ndarray:
+                     device_unpack: bool = False,
+                     strict: bool = False) -> np.ndarray:
         """Batched decode of same-shape bundles -> [N, H, W, 3] (float, or
         save_png-quantized uint8 with out_uint8=True).
 
@@ -666,10 +675,20 @@ class CGICCodec:
         Huffman decode + mask/grid rebuild): the H2D upload is the raw
         compressed bitstreams instead of the decoded index/mask grids.
         Pixel-identical to the host path (pinned by test_device_unpack);
-        requires a device-decodable table (falls back to host otherwise).
-        The host path additionally VALIDATES streams (CorruptStreamError);
-        the device path assumes well-formed input."""
-        if device_unpack and self._decode_tables is not None:
+        requires a device-decodable table (falls back to host otherwise —
+        strict=True raises instead, for callers that need the device
+        path's guarantees). The host path additionally VALIDATES streams
+        (CorruptStreamError); the device path assumes well-formed input.
+        After the call, self.last_decode_path records which receiver ran
+        ('device' or 'host') for programmatic callers."""
+        engaged = device_unpack and self._decode_tables is not None
+        if device_unpack and not engaged and strict:
+            raise ValueError(
+                "device_unpack requested with strict=True but this codec's "
+                "Huffman table is not device-decodable (code lengths "
+                "outside [1, MAX_LUT_BITS])")
+        self.last_decode_path = "device" if engaged else "host"
+        if engaged:
             return np.asarray(self.decode_batch_device_async(
                 encoded, out_uint8=out_uint8))
         return np.asarray(self.decode_batch_async(encoded,
@@ -691,10 +710,9 @@ class CGICCodec:
         out = self._decode_unpack_fn(mode, hl, wl, out_uint8)(
             self.variables, jnp.asarray(flat), jnp.asarray(offs),
             lut_s, lut_l)
-        if stats is not None:
-            stats["b_rebuild_s"] += t1 - t0
-            stats["b_h2d_dispatch_s"] += time.perf_counter() - t1
-            stats["b_h2d_bytes"] += flat.nbytes + offs.nbytes
+        _acc(stats, "b_rebuild_s", t1 - t0)
+        _acc(stats, "b_h2d_dispatch_s", time.perf_counter() - t1)
+        _acc(stats, "b_h2d_bytes", flat.nbytes + offs.nbytes)
         return out
 
     # ----------------------------------------------------- pipelined batches
@@ -730,22 +748,30 @@ class CGICCodec:
         (the host entropy stage). Blocks until the device work is done.
 
         stats (optional dict) accumulates per-stage seconds/bytes for
-        self-attributing benchmarks: 'b_fetch_s' (device sync + packed-words
-        D2H), 'b_frame_s' (host byte framing), 'b_fetch_bytes'."""
+        self-attributing benchmarks: 'b_sync_s' (wait for the device encode
+        to finish computing), 'b_fetch_s' (packed-words D2H wire),
+        'b_frame_s' (host byte framing), 'b_fetch_bytes'. The sync/fetch
+        split separates "encode was slow" from "tunnel was slow" in bench
+        diagnostics."""
         if pending.packed is not None:
             t0 = time.perf_counter()
-            buf = np.asarray(pending.packed)
+            try:
+                pending.packed.block_until_ready()
+            except AttributeError:
+                pass
             t1 = time.perf_counter()
+            buf = np.asarray(pending.packed)
+            t2 = time.perf_counter()
             layout = self._pack_layout(pending.mode, *pending.latent_hw)
             out = [EncodedImage(mode=pending.mode,
                                 latent_hw=pending.latent_hw,
                                 image_hw=pending.image_hw,
                                 streams=fused_to_bytes(buf, layout, i))
                    for i in range(pending.n)]
-            if stats is not None:
-                stats["b_fetch_s"] += t1 - t0
-                stats["b_frame_s"] += time.perf_counter() - t1
-                stats["b_fetch_bytes"] += buf.nbytes
+            _acc(stats, "b_sync_s", t1 - t0)
+            _acc(stats, "b_fetch_s", t2 - t1)
+            _acc(stats, "b_frame_s", time.perf_counter() - t2)
+            _acc(stats, "b_fetch_bytes", buf.nbytes)
             return out
         enc = pending.enc
         ind = np.asarray(enc.indices)
@@ -777,10 +803,9 @@ class CGICCodec:
         t1 = time.perf_counter()
         out = self._decode_fused_fn(hl, wl, out_uint8)(
             self.variables, jnp.asarray(buf))
-        if stats is not None:
-            stats["b_rebuild_s"] += t1 - t0
-            stats["b_h2d_dispatch_s"] += time.perf_counter() - t1
-            stats["b_h2d_bytes"] += buf.nbytes
+        _acc(stats, "b_rebuild_s", t1 - t0)
+        _acc(stats, "b_h2d_dispatch_s", time.perf_counter() - t1)
+        _acc(stats, "b_h2d_bytes", buf.nbytes)
         return out
 
     def roundtrip_pipelined(self, batches, coarse_ratio: float,
@@ -824,13 +849,26 @@ class CGICCodec:
                                             device_pack=device_pack,
                                             out_uint8=out_uint8,
                                             device_unpack=device_unpack)
-        dec_async = (self.decode_batch_device_async
-                     if device_unpack and self._decode_tables is not None
+        engaged = device_unpack and self._decode_tables is not None
+        dec_async = (self.decode_batch_device_async if engaged
                      else self.decode_batch_async)
         stats = defaultdict(float)
+        stats["device_unpack"] = float(engaged)
         t_wall = time.perf_counter()
         recs: List[np.ndarray] = []
         encs_all: List[List[EncodedImage]] = []
+
+        def fetch_rec(pend):
+            t0 = time.perf_counter()
+            try:
+                pend.block_until_ready()
+            except AttributeError:
+                pass
+            t1 = time.perf_counter()
+            recs.append(np.asarray(pend))
+            stats["c_sync_s"] += t1 - t0
+            stats["c_fetch_s"] += time.perf_counter() - t1
+
         pend_d = None
         pend_e = (self.encode_batch_async(batches[0], coarse_ratio,
                                           medium_ratio,
@@ -846,15 +884,11 @@ class CGICCodec:
             encs = self.encode_finish(pend_e, stats=stats)
             encs_all.append(encs)
             if pend_d is not None:
-                t0 = time.perf_counter()
-                recs.append(np.asarray(pend_d))
-                stats["c_fetch_s"] += time.perf_counter() - t0
+                fetch_rec(pend_d)
             pend_d = dec_async(encs, out_uint8=out_uint8, stats=stats)
             pend_e = nxt
         if pend_d is not None:
-            t0 = time.perf_counter()
-            recs.append(np.asarray(pend_d))
-            stats["c_fetch_s"] += time.perf_counter() - t0
+            fetch_rec(pend_d)
         stats["wall_s"] = time.perf_counter() - t_wall
         stats["threaded"] = 0.0
         self.last_pipeline_stats = dict(stats)
@@ -872,8 +906,8 @@ class CGICCodec:
         import threading
 
         n = len(batches)
-        dec_async = (self.decode_batch_device_async
-                     if device_unpack and self._decode_tables is not None
+        engaged = device_unpack and self._decode_tables is not None
+        dec_async = (self.decode_batch_device_async if engaged
                      else self.decode_batch_async)
         recs: List[Optional[np.ndarray]] = [None] * n
         encs_all: List[Optional[List[EncodedImage]]] = [None] * n
@@ -881,6 +915,7 @@ class CGICCodec:
         qb: "queue.Queue" = queue.Queue(maxsize=2)
         errors: List[BaseException] = []
         stats = defaultdict(float)
+        stats["device_unpack"] = float(engaged)
         t_wall = time.perf_counter()
 
         # Workers record the first error and keep draining their queues so
@@ -917,8 +952,14 @@ class CGICCodec:
                 try:
                     encs_all[i] = encs
                     t0 = time.perf_counter()
+                    try:
+                        rec_dev.block_until_ready()
+                    except AttributeError:
+                        pass
+                    t1 = time.perf_counter()
                     recs[i] = np.asarray(rec_dev)
-                    stats["c_fetch_s"] += time.perf_counter() - t0
+                    stats["c_sync_s"] += t1 - t0
+                    stats["c_fetch_s"] += time.perf_counter() - t1
                 except BaseException as e:
                     errors.append(e)
 

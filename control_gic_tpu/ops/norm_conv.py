@@ -335,6 +335,8 @@ def _make_norm_conv_res_moments(act_swish: bool, interpret: bool = False):
 
 _NC_RES_MOM_SWISH = _make_norm_conv_res_moments(True)
 _NC_RES_MOM_SWISH_I = _make_norm_conv_res_moments(True, interpret=True)
+_NC_RES_MOM_PLAIN = _make_norm_conv_res_moments(False)
+_NC_RES_MOM_PLAIN_I = _make_norm_conv_res_moments(False, interpret=True)
 
 
 def spatial_norm_conv_res_moments(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
@@ -350,8 +352,12 @@ def spatial_norm_conv_res_moments(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
                      and admissible(x.shape[:3] + (cw.shape[-1],),
                                     cw.shape[-1]))
     if use_fused:
-        fn = (_NC_RES_MOM_SWISH_I if _interpret_forced()
-              else _NC_RES_MOM_SWISH)
+        if act_swish:
+            fn = (_NC_RES_MOM_SWISH_I if _interpret_forced()
+                  else _NC_RES_MOM_SWISH)
+        else:
+            fn = (_NC_RES_MOM_PLAIN_I if _interpret_forced()
+                  else _NC_RES_MOM_PLAIN)
         return fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res)
     return norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
                                            cw, cb, res, act_swish)

@@ -312,6 +312,7 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
     trace = os.environ.get("CONTROL_GIC_PIPE_TRACE") == "1"
     from collections import defaultdict
     stats = defaultdict(float)   # stages write disjoint keys across threads
+    stats["device_unpack"] = float(device_unpack)
     t_run0 = time.perf_counter()
 
     def _tr(msg):
@@ -373,8 +374,14 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
         _tr(f"B{i} start (pack fetch)")
         for (th, tw), tyx, offs, buf in bufs:
             t0 = time.perf_counter()
+            try:     # split "encode still computing" from "D2H wire"
+                buf.block_until_ready()
+            except AttributeError:
+                pass
+            t1 = time.perf_counter()
             buf = np.asarray(buf)
-            stats["b_fetch_s"] += time.perf_counter() - t0
+            stats["b_sync_s"] += t1 - t0
+            stats["b_fetch_s"] += time.perf_counter() - t1
             stats["b_fetch_bytes"] += buf.nbytes
             _tr(f"B{i} pack fetched ({buf.nbytes >> 10} KB)")
             t0 = time.perf_counter()
@@ -420,8 +427,14 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
         (pt, pb, pl, pr), h0, w0, _, _ = plans[i]
         _tr(f"C{i} start (canvas fetch)")
         t0 = time.perf_counter()
+        try:     # split "decode still computing" from "D2H wire"
+            canvas.block_until_ready()
+        except AttributeError:
+            pass
+        t1 = time.perf_counter()
         rec = np.asarray(canvas)
-        stats["c_fetch_s"] += time.perf_counter() - t0
+        stats["c_sync_s"] += t1 - t0
+        stats["c_fetch_s"] += time.perf_counter() - t1
         stats["c_fetch_bytes"] += rec.nbytes
         _tr(f"C{i} canvas fetched")
         h, w = rec.shape[:2]

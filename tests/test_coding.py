@@ -197,7 +197,8 @@ def test_degenerate_zero_tail_counters_roundtrip():
     frame = h.encode(syms)
     assert h.decode(frame) == list(syms)
     # a rare-symbol stream (one of the absurdly long codes) works too
-    h2 = HuffmanCodec.from_counts(np.concatenate([[1000, 900], np.zeros(1022, np.int64)]))
+    h2 = HuffmanCodec.from_counts(
+        np.concatenate([[1000, 900], np.zeros(1022, np.int64)]))
     rare = max(h2.codes, key=lambda s: len(h2.codes[s]))
     frame2 = h2.encode(np.asarray([rare, 0, rare]))
     assert h2.decode(frame2) == [rare, 0, rare]

@@ -90,7 +90,14 @@ def run_multiproc(steps: int) -> None:
         f.write(_MP_WORKER)
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(here)
-    port = str(12600 + os.getpid() % 1000)
+    # Bind an ephemeral port and release it for the coordinator: a fixed
+    # pid-derived port can collide with an in-use socket (or a stale
+    # coordinator from a killed run) and hang distributed init until the
+    # 900 s subprocess timeout.
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
 
     def launch(nloc, nproc):
         procs = [subprocess.Popen(
