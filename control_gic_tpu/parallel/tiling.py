@@ -196,24 +196,25 @@ def _encode_tiles_fn(codec: CGICCodec, rc: float, rm: float,
     return cache[key]
 
 
-def _decode_stitch_fn(codec: CGICCodec, offsets: tuple, th: int, tw: int,
-                      out_uint8: bool):
-    """Jitted: (canvas [H, W, 3], fused receiver buffer) -> canvas with the
-    decoded tiles written at `offsets`. The canvas stays on device across
-    tile groups (donated), so the reconstruction crosses the wire once per
-    image."""
+def _decode_stitch_fn(codec: CGICCodec, mode: int, offsets: tuple, th: int,
+                      tw: int, out_uint8: bool):
+    """Jitted: (canvas [H, W, 3], compact receiver buffer) -> canvas with
+    the decoded tiles written at `offsets`. The canvas stays on device
+    across tile groups (donated), so the reconstruction crosses the wire
+    once per image; the receiver upload is the compact uint16+bitmap
+    format (codec.split_compact_buf)."""
     import jax
     import jax.numpy as jnp
 
     from ..models.cgic import CGIC
 
-    key = ("dec", offsets, th, tw, out_uint8)
+    key = ("dec", mode, offsets, th, tw, out_uint8)
     cache = _tile_fns(codec)
     if key not in cache:
         hl, wl = th // 4, tw // 4
 
         def fn(v, canvas, buf):
-            ind, masks = codec._split_decode_buf(buf, hl, wl)
+            ind, masks = codec.split_compact_buf(buf, mode, hl, wl)
             rec = codec.model.apply(v, ind, masks,
                                     method=CGIC.decode_indices)
             if out_uint8:
@@ -404,12 +405,10 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
                 stats["b_h2d_dispatch_s"] += time.perf_counter() - t0
                 stats["b_h2d_bytes"] += flat.nbytes + offtbl.nbytes
             else:
-                rebuilt = [codec._rebuild(e) for e in encs]
-                dec_in = codec._fused_decode_input(
-                    [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
-                    [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
+                inds = [codec._rebuild(e)[0] for e in encs]
+                dec_in = codec._compact_decode_input(encs, inds)
                 stats["b_rebuild_s"] += time.perf_counter() - t0
-                fn = _decode_stitch_fn(codec, offs, th, tw, out_uint8)
+                fn = _decode_stitch_fn(codec, mode, offs, th, tw, out_uint8)
                 t0 = time.perf_counter()
                 canvas = fn(codec.variables, canvas,
                             jnp.asarray(dec_in))

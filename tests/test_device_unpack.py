@@ -146,14 +146,14 @@ def test_device_unpack_wire_bytes_are_compressed_size(codec,  # noqa: F811
     encs = codec.encode_batch(imgs, 0.1, 0.4, device_pack=True)
     flat, offs = codec._flat_stream_upload(encs)
     payload = sum(e.num_bytes for e in encs)
-    grid_bytes = codec._fused_decode_input(
-        *[[np.zeros(s, np.int64) for _ in encs] for s in
-          [(16, 16), (4, 4), (8, 8), (16, 16)]]).nbytes
+    grid_bytes = codec._compact_decode_input(
+        encs, [np.zeros((16, 16), np.int64) for _ in encs]).nbytes
     # payload + per-stream guard/word padding + the size-bucket floor
     # (buckets avoid per-compressed-size recompiles; min bucket 4 KB)
     raw = payload + 4 * len(encs) * len(offs[0]) + 512
     assert flat.nbytes <= max(int(raw * 1.25) + 1024, 4096)
     # the logical upload (pre-bucket) is compressed-size-proportional,
-    # far below the decoded-grid upload; at this toy 16x16 latent the
-    # 4 KB minimum bucket dominates flat.nbytes, so compare `raw`
-    assert raw + offs.nbytes < grid_bytes / 4
+    # below even the COMPACT host upload (uint16 grid + bitmap masks);
+    # at this toy 16x16 latent the 4 KB minimum bucket dominates
+    # flat.nbytes, so compare `raw`
+    assert raw + offs.nbytes < grid_bytes

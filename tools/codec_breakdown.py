@@ -72,7 +72,7 @@ def main():
     from control_gic_tpu.coding.stream_pack import fused_to_bytes
     mode = mode_from_ratios(0.1, 0.4)
     layout = codec._pack_layout(mode, 64, 64)
-    dec_fn = codec._decode_fused_fn(64, 64, False)
+    dec_fn = codec._decode_fused_fn(mode, 64, 64, False)
     for im in imgs:
         x = jnp.asarray(im)
         t0 = time.perf_counter()
@@ -92,10 +92,8 @@ def main():
         t_frame += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        rebuilt = [codec._rebuild(e) for e in encs]
-        buf = codec._fused_decode_input(
-            [r[0] for r in rebuilt], [r[1][0] for r in rebuilt],
-            [r[1][1] for r in rebuilt], [r[1][2] for r in rebuilt])
+        inds = [codec._rebuild(e)[0] for e in encs]
+        buf = codec._compact_decode_input(encs, inds)
         t_rebuild += time.perf_counter() - t0
 
         t0 = time.perf_counter()
