@@ -307,6 +307,22 @@ def main():
                     float(np.mean([e.bpp for b in encs for e in b])), 4)
                 extra["kodak_full_diag"] = _stage_summary(
                     codec.last_pipeline_stats, nkf)
+                # receiver A/B: device-unpack variant at the same shape
+                # (budget-guarded: compile cost only spent if time allows)
+                if (codec._decode_tables is not None
+                        and _now() - t_start <= budget_s):
+                    imgs_k2 = u8_imgs((kb, 512, 768, 3), nkf)
+                    codec.roundtrip_pipelined(
+                        imgs_k2[:1], 0.1, 0.4, device_pack=True,
+                        out_uint8=True, device_unpack=True)   # warm
+                    t0 = _now()
+                    codec.roundtrip_pipelined(
+                        imgs_k2, 0.1, 0.4, device_pack=True,
+                        out_uint8=True, device_unpack=True)
+                    extra["kodak_full_devrx_img_s"] = round(
+                        kb * nkf / (_now() - t0), 3)
+                    extra["kodak_full_devrx_diag"] = _stage_summary(
+                        codec.last_pipeline_stats, nkf)
             elif name == "codec256_f32":
                 # float32 in/out variant of codec256 (4x wire bytes): the
                 # number for callers that keep float tensors host-side
@@ -340,6 +356,21 @@ def main():
                 extra["tiled2k_bpp"] = round(results[-1][1], 4)
                 extra["tiled2k_diag"] = _stage_summary(
                     codec.last_pipeline_stats, n2k)
+                # receiver A/B: the non-default receiver at this shape
+                if (codec._decode_tables is not None
+                        and _now() - t_start <= budget_s):
+                    alt = not bool(extra["tiled2k_diag"].get(
+                        "device_unpack_engaged", 0))
+                    imgs2k_b = [im[0] for im in u8_imgs((1, th, tw, 3), n2k)]
+                    compress_tiled_device(codec, imgs2k_b[:1], 0.1, 0.4,
+                                          device_unpack=alt)    # warm
+                    t0 = _now()
+                    compress_tiled_device(codec, imgs2k_b, 0.1, 0.4,
+                                          device_unpack=alt)
+                    extra["tiled2k_alt_img_s"] = round(
+                        n2k / (_now() - t0), 3)
+                    extra["tiled2k_alt_diag"] = _stage_summary(
+                        codec.last_pipeline_stats, n2k)
                 # second probe: tunnel state drifts within a bench run
                 extra.update({("end_" + k): v
                               for k, v in wire_probe(jax).items()})

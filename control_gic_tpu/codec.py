@@ -806,6 +806,10 @@ class CGICCodec:
             out = self._encode_pack_fn(float(coarse_ratio),
                                        float(medium_ratio),
                                        per_sample=True)(self.variables, x)
+            try:  # schedule the packed-words D2H as soon as encode lands
+                out.copy_to_host_async()
+            except AttributeError:
+                pass
             return _PendingEncode(mode, (h // 4, w // 4), (h, w), n,
                                   packed=out)
         enc = self._encode_fn(float(coarse_ratio), float(medium_ratio),

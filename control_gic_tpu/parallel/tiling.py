@@ -355,8 +355,12 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
             offs = tuple((y, x) for _, y, x in tyx)
             fn = _encode_tiles_fn(codec, float(coarse_ratio),
                                   float(medium_ratio), offs, th, tw)
-            bufs.append(((th, tw), tyx, offs,
-                         fn(codec.variables, img_dev)))
+            buf = fn(codec.variables, img_dev)
+            try:  # schedule the packed-words D2H as soon as encode lands
+                buf.copy_to_host_async()
+            except AttributeError:
+                pass
+            bufs.append(((th, tw), tyx, offs, buf))
         _tr(f"A{i} dispatched")
         stats["a_upload_s"] += time.perf_counter() - t0
         stats["a_upload_bytes"] += getattr(images[i], "nbytes", 0)
