@@ -21,7 +21,9 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.norm_conv import norm_conv_worthwhile, spatial_norm_conv
+from ..ops.norm_conv import (admissible, chain_admissible,
+                             norm_conv_worthwhile, spatial_norm_conv,
+                             spatial_norm_conv_mom, stats_from_moments)
 from ..ops.resample import avg_pool, upsample_nearest
 from .blocks import (AttnBlock, ResnetBlock, SpatialNorm, Upsample,
                      _Conv3x3Params)
@@ -100,28 +102,77 @@ class Decoder(nn.Module):
         Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         Attn = nn.remat(AttnBlock) if self.remat else AttnBlock
 
+        # Stats-in-epilogue chaining (ops/norm_conv.spatial_norm_conv_mom):
+        # consecutive ResnetBlocks at non-attention levels run as fused
+        # norm+conv kernels that pass each block's output moments to the
+        # next block's norm, skipping its full-activation stats read
+        # (~1 RW per conv instead of ~2). Anything that edits h outside
+        # the kernels (mask injection, attention, upsample) invalidates
+        # the running moments. Inference-path optimization: disabled
+        # under remat (moments would be a traced kwarg through nn.remat);
+        # gradients of the kernels recompute via the XLA reference either
+        # way. Hot path: reference decoder.py:340-398.
+        use_chain = not self.remat and deterministic
+        mom = None
+
         h = h_coarse
         for i_level in reversed(range(num_res)):
             if i_level == num_res - 2:
                 h = h * upsample_nearest(gate(m_c), 2) + h_medium * gate(m_m)
+                mom = None
             elif i_level == num_res - 3:
                 h = (h * upsample_nearest(gate(m_c), 4)
                      + h * upsample_nearest(gate(m_m), 2)
                      + h_fine * gate(m_f))
+                mom = None
             block_out = self.ch * self.ch_mult[i_level]
+            attn_here = i_level in attn_levels
             for i_block in range(self.num_res_blocks + 1):
-                h = Res(
-                    out_channels=block_out, dropout=self.dropout,
-                    zq_cond=True, dtype=self.dtype,
-                    name=f"up_{i_level}_block_{i_block}")(
-                        h, zq, deterministic=deterministic)
-                if i_level in attn_levels:
+                blk_chain = (use_chain and not attn_here
+                             and chain_admissible(h.shape, block_out))
+                # does anything consume this block's epilogue moments?
+                out_shape = h.shape[:3] + (block_out,)
+                if i_block < self.num_res_blocks:
+                    consumer = (use_chain and not attn_here and
+                                chain_admissible(out_shape, block_out))
+                else:   # level's last block: norm_out is the consumer
+                    # (a single norm+conv, so only its own shape matters)
+                    consumer = (i_level == 0 and blk_chain and
+                                admissible(out_shape, self.out_ch))
+                if blk_chain:
+                    out = Res(
+                        out_channels=block_out, dropout=self.dropout,
+                        zq_cond=True, dtype=self.dtype,
+                        name=f"up_{i_level}_block_{i_block}")(
+                            h, zq, deterministic=deterministic,
+                            mom_in=mom, emit_mom=consumer)
+                    h, mom = out if consumer else (out, None)
+                else:
+                    h = Res(
+                        out_channels=block_out, dropout=self.dropout,
+                        zq_cond=True, dtype=self.dtype,
+                        name=f"up_{i_level}_block_{i_block}")(
+                            h, zq, deterministic=deterministic)
+                    mom = None
+                if attn_here:
                     h = Attn(zq_cond=True, dtype=self.dtype,
                              name=f"up_{i_level}_attn_{i_block}")(h, zq)
+                    mom = None
             if i_level != 0:
                 h = Upsample(dtype=self.dtype,
                              name=f"up_{i_level}_upsample")(h)
+                mom = None
 
+        if mom is not None and admissible(h.shape, self.out_ch):
+            # final norm consumes the last trunk block's moments
+            zq_r, *np_out = SpatialNorm(dtype=self.dtype, name="norm_out")(
+                h, zq, return_params=True)
+            k, b = _Conv3x3Params(h.shape[-1], self.out_ch,
+                                  name="conv_out")()
+            return spatial_norm_conv_mom(
+                h.astype(self.dtype), zq_r, *np_out, k, b,
+                stats=stats_from_moments(mom, h.shape[1] * h.shape[2]),
+                act_swish=True, emit_mom=False, use_fused=True)
         if norm_conv_worthwhile(h.shape, self.out_ch):
             zq_r, *np_out = SpatialNorm(dtype=self.dtype, name="norm_out")(
                 h, zq, return_params=True)

@@ -133,23 +133,31 @@ def _kernel(*refs, act_swish: bool, modulate: bool, bh: int,
     o_ref[0] = (acc + cb_ref[0]).reshape(bh, w, co).astype(o_ref.dtype)
 
 
-def _kernel_res_mom(x_ref, xp_ref, xn_ref, zq_ref, zqp_ref, zqn_ref,
-                    mean_ref, rstd_ref, gs_ref, gb_ref, wy_ref, by_ref,
-                    wb_ref, bb_ref, cw_ref, cb_ref, res_ref, o_ref,
-                    mom_ref, *, act_swish: bool, bh: int, w: int,
-                    cin: int, co: int, nh: int):
-    """SpatialNorm(+swish)+conv with a fused RESIDUAL add and the next
-    norm's MOMENTS (per-channel sum/sumsq of the final output) emitted
-    from the epilogue — the stats-in-epilogue ResnetBlock formulation.
+def _kernel_chain(*refs, act_swish: bool, has_res: bool, emit_mom: bool,
+                  bh: int, w: int, cin: int, co: int, nh: int):
+    """SpatialNorm(+swish)+conv with an optional fused RESIDUAL add and
+    the next norm's MOMENTS (per-channel sum/sumsq of the final output)
+    optionally emitted from the epilogue — the stats-in-epilogue
+    ResnetBlock formulation.
 
     Motivation (round-4 trace analysis): after the broadcast-norm rewrite
     the 256² round-trip is bandwidth-bound on conv+stats+epilogue traffic
     at ~2 read-write passes per conv; chaining kernels that consume the
-    PREVIOUS op's moments and emit their own reaches ~1RW per conv. This
-    kernel is the building block (correctness-complete, interpret-tested);
-    module integration/threading of moments between blocks is future work.
+    PREVIOUS op's moments (skipping their own stats pass) and emit their
+    own reaches ~1RW per conv. Matches the reference ResnetBlock hot path
+    /root/reference/CGIC/modules/vqvae/decoder.py:60-101,340-398.
     """
     from jax.experimental import pallas as pl
+
+    it = iter(refs)
+    x_ref, xp_ref, xn_ref = next(it), next(it), next(it)
+    zq_ref, zqp_ref, zqn_ref = next(it), next(it), next(it)
+    mean_ref, rstd_ref, gs_ref, gb_ref = next(it), next(it), next(it), next(it)
+    wy_ref, by_ref, wb_ref, bb_ref = next(it), next(it), next(it), next(it)
+    cw_ref, cb_ref = next(it), next(it)
+    res_ref = next(it) if has_res else None
+    o_ref = next(it)
+    mom_ref = next(it) if emit_mom else None
 
     ib = pl.program_id(0)
     ih = pl.program_id(2)
@@ -187,46 +195,56 @@ def _kernel_res_mom(x_ref, xp_ref, xn_ref, zq_ref, zqp_ref, zqn_ref,
             sl = a[dy:dy + bh, dx:dx + w, :].reshape(bh * w, cin)
             acc += jnp.dot(sl, cw_ref[dy * 3 + dx],
                            preferred_element_type=jnp.float32)
-    out = (acc + cb_ref[0]).reshape(bh, w, co) \
-        + res_ref[0].astype(jnp.float32)
+    out = (acc + cb_ref[0]).reshape(bh, w, co)
+    if has_res:
+        out = out + res_ref[0].astype(jnp.float32)
     out_c = out.astype(o_ref.dtype)
     o_ref[0] = out_c
 
-    # moments of the STORED (dtype-rounded) output — exactly what the next
-    # norm's stats pass would read — accumulated across row blocks
-    @pl.when(ih == 0)
-    def _init():
-        mom_ref[...] = jnp.zeros_like(mom_ref)
+    if emit_mom:
+        # moments of the STORED (dtype-rounded) output — exactly what the
+        # next norm's stats pass would read — accumulated across row blocks
+        @pl.when(ih == 0)
+        def _init():
+            mom_ref[...] = jnp.zeros_like(mom_ref)
 
-    of = out_c.astype(jnp.float32)
-    mom_ref[0, 0, :] += jnp.sum(of, axis=(0, 1))
-    mom_ref[0, 1, :] += jnp.sum(of * of, axis=(0, 1))
+        of = out_c.astype(jnp.float32)
+        mom_ref[0, 0, :] += jnp.sum(of, axis=(0, 1))
+        mom_ref[0, 1, :] += jnp.sum(of * of, axis=(0, 1))
 
 
-def norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
-                                    cw, cb, res, act_swish: bool = True):
-    """Unfused composition (custom-VJP backward + CPU path): SpatialNorm
-    (+swish) -> 3x3 conv -> +residual, plus (sum, sumsq) [B, 2, Cout] of
-    the dtype-rounded output."""
-    out = _conv3x3(spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
-                                           act_swish), cw, cb)
-    out = (out.astype(jnp.float32)
-           + res.astype(jnp.float32)).astype(x.dtype)
-    of = out.astype(jnp.float32)
-    mom = jnp.stack([of.sum(axis=(1, 2)),
-                     (of * of).sum(axis=(1, 2))], axis=1)
-    return out, mom
+def stats_from_moments(mom: jnp.ndarray, hw: int):
+    """Fold per-channel moments [B, 2, C] (sum, sumsq over H*W) into the
+    per-channel-expanded GroupNorm stats (mean_c, rstd_c) [B, C] f32 —
+    matching _gn_stats + repeat. The consumer of a chained kernel's
+    epilogue moments; tiny [B, C] XLA work in place of a full activation
+    read."""
+    b, _, c = mom.shape
+    cg = c // GROUPS
+    n = hw * cg
+    s1 = mom[:, 0].reshape(b, GROUPS, cg).sum(-1)
+    s2 = mom[:, 1].reshape(b, GROUPS, cg).sum(-1)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + EPS)
+    return jnp.repeat(mean, cg, axis=1), jnp.repeat(rstd, cg, axis=1)
 
 
 def spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
-                            act_swish: bool):
+                            act_swish: bool, stats=None):
     """The kernel's activation math in jnp (f32 dot-form modulation —
-    matches _kernel/_kernel_res_mom numerics, NOT the broadcast-form
-    spatial_norm_reference used by the unfused model path)."""
-    mean, rstd = _gn_stats(x, GROUPS)
-    cg = x.shape[-1] // GROUPS
-    mean_c = jnp.repeat(mean, cg, axis=1)[:, None, None, :]
-    rstd_c = jnp.repeat(rstd, cg, axis=1)[:, None, None, :]
+    matches _kernel_chain numerics, NOT the broadcast-form
+    spatial_norm_reference used by the unfused model path). `stats`
+    optionally supplies precomputed (mean_c, rstd_c) [B, C] f32."""
+    if stats is None:
+        mean, rstd = _gn_stats(x, GROUPS)
+        cg = x.shape[-1] // GROUPS
+        mean_c = jnp.repeat(mean, cg, axis=1)
+        rstd_c = jnp.repeat(rstd, cg, axis=1)
+    else:
+        mean_c, rstd_c = stats
+    mean_c = mean_c[:, None, None, :]
+    rstd_c = rstd_c[:, None, None, :]
     out = ((x.astype(jnp.float32) - mean_c)
            * (rstd_c * gs.astype(jnp.float32)) + gb.astype(jnp.float32))
     zf = zq_r.astype(jnp.float32)
@@ -238,9 +256,37 @@ def spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
     return out.astype(x.dtype)
 
 
-def _norm_conv_res_moments_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
-                                   res, act_swish: bool,
-                                   interpret: bool = False):
+def chain_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res=None,
+                    stats=None, act_swish: bool = True,
+                    emit_mom: bool = True):
+    """Unfused composition (custom-VJP backward + CPU path) of the chained
+    kernel: SpatialNorm(+swish) -> 3x3 conv [-> +residual], optionally
+    consuming precomputed stats, optionally emitting (sum, sumsq)
+    [B, 2, Cout] moments of the dtype-rounded output."""
+    out = _conv3x3(spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
+                                           act_swish, stats=stats), cw, cb)
+    if res is not None:
+        out = (out.astype(jnp.float32)
+               + res.astype(jnp.float32))
+    out = out.astype(x.dtype)
+    if not emit_mom:
+        return out
+    of = out.astype(jnp.float32)
+    mom = jnp.stack([of.sum(axis=(1, 2)),
+                     (of * of).sum(axis=(1, 2))], axis=1)
+    return out, mom
+
+
+def norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
+                                    cw, cb, res, act_swish: bool = True):
+    """Back-compat alias: chain_reference with residual + moments."""
+    return chain_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                           res=res, act_swish=act_swish, emit_mom=True)
+
+
+def _chain_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, stats,
+                   act_swish: bool, emit_mom: bool,
+                   interpret: bool = False):
     from jax.experimental import pallas as pl
 
     b, h, w, cin = x.shape
@@ -250,15 +296,21 @@ def _norm_conv_res_moments_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
     nh = h // bh
     nco = cout // co_blk
 
-    rb = _row_block(h * w, cin)
-    if rb > 0 and not interpret:
-        mean_c, rstd_c = _gn_stats_pallas(x.reshape(b, h * w, cin), GROUPS,
-                                          rb, interpret=interpret)
+    if stats is not None:
+        mean_c, rstd_c = stats
+        mean_c = mean_c.astype(jnp.float32)
+        rstd_c = rstd_c.astype(jnp.float32)
     else:
-        mean, rstd = _gn_stats(x, GROUPS)
-        cg = cin // GROUPS
-        mean_c = jnp.repeat(mean, cg, axis=1)
-        rstd_c = jnp.repeat(rstd, cg, axis=1)
+        rb = _row_block(h * w, cin)
+        if rb > 0 and not interpret:
+            mean_c, rstd_c = _gn_stats_pallas(x.reshape(b, h * w, cin),
+                                              GROUPS, rb,
+                                              interpret=interpret)
+        else:
+            mean, rstd = _gn_stats(x, GROUPS)
+            cg = cin // GROUPS
+            mean_c = jnp.repeat(mean, cg, axis=1)
+            rstd_c = jnp.repeat(rstd, cg, axis=1)
 
     xp, xn = _halo_rows(x, bh)
     zp, zn = _halo_rows(zq_r, bh)
@@ -285,82 +337,115 @@ def _norm_conv_res_moments_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
         pl.BlockSpec((1, cin), fixed2),
         pl.BlockSpec((9, cin, co_blk), lambda ib, ico, ih: (0, 0, ico)),
         pl.BlockSpec((1, co_blk), lambda ib, ico, ih: (0, ico)),
-        pl.BlockSpec((1, bh, w, co_blk),
-                     lambda ib, ico, ih: (ib, ih, 0, ico)),   # residual
     ]
     operands = [x, xp, xn, zq_r, zp, zn, mean_c, rstd_c,
                 gs.astype(f32)[None], gb.astype(f32)[None],
                 wy.astype(f32), by.astype(f32)[None],
                 wb.astype(f32), bb.astype(f32)[None],
-                cwr, cb.astype(f32)[None], res]
+                cwr, cb.astype(f32)[None]]
+    if res is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, bh, w, co_blk), lambda ib, ico, ih: (ib, ih, 0, ico)))
+        operands.append(res)
 
-    kernel = functools.partial(_kernel_res_mom, act_swish=act_swish,
+    out_specs = [pl.BlockSpec((1, bh, w, co_blk),
+                              lambda ib, ico, ih: (ib, ih, 0, ico))]
+    out_shape = [jax.ShapeDtypeStruct((b, h, w, cout), x.dtype)]
+    if emit_mom:
+        out_specs.append(pl.BlockSpec(
+            (1, 2, co_blk), lambda ib, ico, ih: (ib, 0, ico)))
+        out_shape.append(jax.ShapeDtypeStruct((b, 2, cout), jnp.float32))
+
+    kernel = functools.partial(_kernel_chain, act_swish=act_swish,
+                               has_res=res is not None, emit_mom=emit_mom,
                                bh=bh, w=w, cin=cin, co=co_blk, nh=nh)
-    out, mom = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, nco, nh),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, bh, w, co_blk),
-                         lambda ib, ico, ih: (ib, ih, 0, ico)),
-            pl.BlockSpec((1, 2, co_blk),
-                         lambda ib, ico, ih: (ib, 0, ico)),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
-                   jax.ShapeDtypeStruct((b, 2, cout), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*operands)
-    return out, mom
+    return tuple(out) if emit_mom else out[0]
 
 
-def _make_norm_conv_res_moments(act_swish: bool, interpret: bool = False):
+@functools.lru_cache(maxsize=None)
+def _chain_custom(act_swish: bool, has_res: bool, has_stats: bool,
+                  emit_mom: bool, interpret: bool = False):
+    """custom-VJP wrapper for one static chained-kernel configuration.
+
+    Positional layout: 10 base args (x, zq_r, gs, gb, wy, by, wb, bb, cw,
+    cb), then res if has_res, then mean_c, rstd_c if has_stats. The
+    backward recomputes through chain_reference (jnp/XLA), so gradients
+    are identical to the unfused composition — including cotangents for
+    externally-supplied stats, which flow back through the producing
+    block's moments."""
+    def split(args):
+        res = args[10] if has_res else None
+        k = 10 + int(has_res)
+        stats = (args[k], args[k + 1]) if has_stats else None
+        return args[:10], res, stats
+
     @jax.custom_vjp
-    def fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res):
-        return _norm_conv_res_moments_forward(
-            x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, act_swish,
-            interpret=interpret)
+    def fn(*args):
+        base, res, stats = split(args)
+        return _chain_forward(*base, res, stats, act_swish, emit_mom,
+                              interpret=interpret)
 
     def fwd(*args):
         return fn(*args), args
 
     def bwd(args, g):
-        _, vjp = jax.vjp(
-            lambda *a: norm_conv_res_moments_reference(
-                *a, act_swish=act_swish), *args)
+        def ref(*a):
+            base, res, stats = split(a)
+            return chain_reference(*base, res=res, stats=stats,
+                                   act_swish=act_swish, emit_mom=emit_mom)
+
+        _, vjp = jax.vjp(ref, *args)
         return vjp(g)
 
     fn.defvjp(fwd, bwd)
     return fn
 
 
-_NC_RES_MOM_SWISH = _make_norm_conv_res_moments(True)
-_NC_RES_MOM_SWISH_I = _make_norm_conv_res_moments(True, interpret=True)
-_NC_RES_MOM_PLAIN = _make_norm_conv_res_moments(False)
-_NC_RES_MOM_PLAIN_I = _make_norm_conv_res_moments(False, interpret=True)
-
-
-def spatial_norm_conv_res_moments(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
-                                  res, act_swish: bool = True,
-                                  use_fused: Optional[bool] = None):
-    """SpatialNorm(+swish) -> 3x3 conv -> +residual, returning (out,
-    moments [B, 2, Cout]) — the ResnetBlock second half as ONE pass with
-    the NEXT norm's stats emitted from the epilogue. See _kernel_res_mom
-    for the motivation; reference composition off-TPU/inadmissible."""
+def spatial_norm_conv_mom(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                          res=None, stats=None, act_swish: bool = True,
+                          emit_mom: bool = True,
+                          use_fused: Optional[bool] = None):
+    """SpatialNorm(+swish) -> 3x3 conv [-> +residual] with optional
+    precomputed stats in and optional epilogue moments out — the chained
+    ResnetBlock building block (~1 activation read-write per conv when
+    chained, vs ~2 for the XLA composition). Returns out, or (out,
+    moments [B, 2, Cout]) with emit_mom. Reference composition
+    off-TPU/inadmissible."""
     if use_fused is None:
         use_fused = (norm_conv_enabled()
                      and admissible(x.shape, cw.shape[-1])
                      and admissible(x.shape[:3] + (cw.shape[-1],),
                                     cw.shape[-1]))
     if use_fused:
-        if act_swish:
-            fn = (_NC_RES_MOM_SWISH_I if _interpret_forced()
-                  else _NC_RES_MOM_SWISH)
-        else:
-            fn = (_NC_RES_MOM_PLAIN_I if _interpret_forced()
-                  else _NC_RES_MOM_PLAIN)
-        return fn(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res)
-    return norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
-                                           cw, cb, res, act_swish)
+        fn = _chain_custom(act_swish, res is not None, stats is not None,
+                           emit_mom, _interpret_forced())
+        args = [x, zq_r, gs, gb, wy, by, wb, bb, cw, cb]
+        if res is not None:
+            args.append(res)
+        if stats is not None:
+            args.extend(stats)
+        return fn(*args)
+    return chain_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                           res=res, stats=stats, act_swish=act_swish,
+                           emit_mom=emit_mom)
+
+
+def spatial_norm_conv_res_moments(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                                  res, act_swish: bool = True,
+                                  use_fused: Optional[bool] = None):
+    """Back-compat wrapper: SpatialNorm(+swish) -> 3x3 conv -> +residual,
+    returning (out, moments [B, 2, Cout]). See spatial_norm_conv_mom."""
+    return spatial_norm_conv_mom(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                                 res=res, act_swish=act_swish,
+                                 emit_mom=True, use_fused=use_fused)
 
 
 def _pick_bh(h: int, w: int, cin: int = 128, itemsize: int = 2,
@@ -567,7 +652,35 @@ _GN_CONV_PLAIN_I = _make_group_norm_conv(False, interpret=True)
 
 
 def _interpret_forced() -> bool:
-    return os.environ.get("CONTROL_GIC_NORM_CONV") == "interpret"
+    return (os.environ.get("CONTROL_GIC_NORM_CONV") == "interpret"
+            or os.environ.get("CONTROL_GIC_CHAIN") == "interpret")
+
+
+def chain_enabled() -> bool:
+    """Gate for the stats-in-epilogue chained ResnetBlock path in the
+    decoder trunk (CONTROL_GIC_CHAIN: '1' on, '0' off, 'interpret' =
+    interpret-mode kernels on any backend for CPU tests).
+
+    Separate from norm_conv_enabled(): the non-chained per-call kernels
+    measured as in-model losses (see norm_conv_enabled history), while the
+    chain amortizes the stats pass ACROSS blocks — the configuration the
+    round-4 bandwidth analysis says can beat XLA. Default OFF until the
+    on-chip in-model A/B lands (see DESIGN.md for the measurement)."""
+    flag = os.environ.get("CONTROL_GIC_CHAIN", "")
+    if flag == "interpret":
+        return True
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    return flag == "1"
+
+
+def chain_admissible(x_shape: Tuple[int, ...], cout: int) -> bool:
+    """Call-site gate for the chained path: enabled AND both convs of the
+    block shape-admissible."""
+    if not chain_enabled():
+        return False
+    return (admissible(x_shape, cout)
+            and admissible(x_shape[:3] + (cout,), cout))
 
 
 def _fuse_min_elems() -> int:

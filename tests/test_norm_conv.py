@@ -231,28 +231,78 @@ def test_res_moments_kernel_matches_reference(rng):
     next norm's moments emitted): kernel == reference composition for
     output AND moments, across row blocking."""
     from control_gic_tpu.ops.norm_conv import (
-        _norm_conv_res_moments_forward, norm_conv_res_moments_reference)
+        _chain_forward, norm_conv_res_moments_reference)
 
     for h, w in [(16, 16), (32, 16)]:
         args = _inputs(rng, h=h, w=w)
         res = jnp.asarray(rng.normal(size=args[0].shape), args[0].dtype)
         want_out, want_mom = norm_conv_res_moments_reference(
             *args, res, act_swish=True)
-        got_out, got_mom = _norm_conv_res_moments_forward(
-            *args, res, act_swish=True, interpret=True)
+        got_out, got_mom = _chain_forward(
+            *args, res, None, act_swish=True, emit_mom=True,
+            interpret=True)
         np.testing.assert_allclose(got_out, want_out, atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(got_mom, want_mom, atol=2e-3, rtol=1e-5)
+
+
+def test_chain_kernel_variants_match_reference(rng):
+    """Every static chain-kernel configuration (res x stats x moments)
+    == the reference composition."""
+    from control_gic_tpu.ops.fused_norm import _gn_stats
+    from control_gic_tpu.ops.norm_conv import _chain_forward, chain_reference
+
+    args = _inputs(rng, h=16, w=16)
+    x = args[0]
+    res = jnp.asarray(rng.normal(size=x.shape), x.dtype)
+    mean, rstd = _gn_stats(x, 32)
+    cg = x.shape[-1] // 32
+    stats = (jnp.repeat(mean, cg, axis=1), jnp.repeat(rstd, cg, axis=1))
+    for r in (None, res):
+        for st in (None, stats):
+            for em in (False, True):
+                want = chain_reference(*args, res=r, stats=st,
+                                       act_swish=True, emit_mom=em)
+                got = _chain_forward(*args, r, st, act_swish=True,
+                                     emit_mom=em, interpret=True)
+                if em:
+                    np.testing.assert_allclose(got[0], want[0],
+                                               atol=2e-5, rtol=1e-5)
+                    np.testing.assert_allclose(got[1], want[1],
+                                               atol=2e-3, rtol=1e-5)
+                else:
+                    np.testing.assert_allclose(got, want,
+                                               atol=2e-5, rtol=1e-5)
+
+
+def test_chain_stats_consumption_matches_direct(rng):
+    """Feeding a block's emitted moments to the next op's stats equals
+    computing the stats directly from the tensor (the chaining
+    contract, through stats_from_moments)."""
+    from control_gic_tpu.ops.norm_conv import (chain_reference,
+                                               spatial_norm_conv_mom,
+                                               stats_from_moments)
+
+    args = _inputs(rng, h=16, w=16)
+    res = jnp.asarray(rng.normal(size=args[0].shape), args[0].dtype)
+    h1, mom = spatial_norm_conv_mom(*args, res=res, emit_mom=True,
+                                    use_fused=False)
+    args2 = (h1,) + args[1:]
+    stats = stats_from_moments(mom, h1.shape[1] * h1.shape[2])
+    got = chain_reference(*args2, stats=stats, emit_mom=False)
+    want = chain_reference(*args2, stats=None, emit_mom=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
 
 
 def test_res_moments_gradients_match_reference(rng):
     """custom-VJP backward (reference recompute) == direct grads of the
     reference, including gradient flow THROUGH the emitted moments."""
     from control_gic_tpu.ops.norm_conv import (
-        _make_norm_conv_res_moments, norm_conv_res_moments_reference)
+        _chain_custom, norm_conv_res_moments_reference)
 
     args = _inputs(rng, h=16, w=16)
     res = jnp.asarray(rng.normal(size=args[0].shape), args[0].dtype)
-    fused = _make_norm_conv_res_moments(True, interpret=True)
+    fused = _chain_custom(True, True, False, True, True)
 
     def loss_f(f):
         def inner(*a):
@@ -279,3 +329,54 @@ def test_res_moments_public_op_fallback(rng):
     np.testing.assert_allclose(mom[:, 0], of.sum(axis=(1, 2)), rtol=1e-5)
     np.testing.assert_allclose(mom[:, 1], (of * of).sum(axis=(1, 2)),
                                rtol=1e-5)
+
+
+def test_resnet_block_chained_wiring(rng, monkeypatch):
+    """ResnetBlock mom_in/emit_mom chained path == the plain block with
+    the same params, and the emitted moments match a direct stats pass
+    over the output (interpret-mode kernels)."""
+    from control_gic_tpu.models.blocks import ResnetBlock
+
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 128)), jnp.float32)
+    zq = jnp.asarray(rng.normal(size=(1, 16, 16, 4)), jnp.float32)
+    blk = ResnetBlock(zq_cond=True)
+    params = blk.init(jax.random.PRNGKey(0), x, zq)
+    want = blk.apply(params, x, zq)
+
+    monkeypatch.setenv("CONTROL_GIC_CHAIN", "interpret")
+    got, mom = blk.apply(params, x, zq, emit_mom=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    of = np.asarray(got, np.float32)
+    np.testing.assert_allclose(mom[:, 0], of.sum(axis=(1, 2)),
+                               atol=1e-2, rtol=1e-4)
+    # consuming those moments in the next block == direct stats
+    want2 = blk.apply(params, jnp.asarray(want), zq)
+    got2 = blk.apply(params, got, zq, mom_in=mom)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=5e-4, rtol=2e-4)
+
+
+def test_decoder_chained_trunk_wiring(rng, monkeypatch):
+    """Full Decoder with CONTROL_GIC_CHAIN=interpret (moments threaded
+    block-to-block through every non-attention trunk level and into
+    norm_out) == the plain XLA decoder with the same params."""
+    from control_gic_tpu.models.decoder import Decoder
+
+    dec = Decoder(ch=128, ch_mult=(1, 2), num_res_blocks=1,
+                  attn_resolutions=(), resolution=32)
+    z = jnp.asarray(rng.normal(size=(1, 16, 16, 4)), jnp.float32)
+    zq = jnp.asarray(rng.normal(size=(1, 16, 16, 4)), jnp.float32)
+    m_c = np.zeros((1, 4, 4), np.int32)
+    m_c[0, :2] = 1
+    m_m = np.zeros((1, 8, 8), np.int32)
+    m_m[0, 4:6] = 1
+    m_f = 1 - m_m.repeat(2, 1).repeat(2, 2) - m_c.repeat(4, 1).repeat(4, 2)
+    masks = tuple(jnp.asarray(m) for m in (m_c, m_m, m_f))
+    params = dec.init(jax.random.PRNGKey(1), z, zq, masks)
+    want = dec.apply(params, z, zq, masks)
+
+    monkeypatch.setenv("CONTROL_GIC_CHAIN", "interpret")
+    got = dec.apply(params, z, zq, masks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=2e-4)
