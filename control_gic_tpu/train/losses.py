@@ -29,6 +29,20 @@ class LossConfig:
     g_weight: float = 0.1
     disc_loss: str = "hinge"      # or "vanilla"
     lpips_normalize: bool = True  # reference convention (see module doc)
+    # Opt-in GAN scheduling knobs (defaults replicate the reference's
+    # EFFECTIVE behavior — both features exist in the reference as dead
+    # code, vqperceptual.py:13-16,67-78, and are never applied there):
+    disc_start: int = 0           # steps before the adversarial terms
+                                  # engage (generator g-term AND the
+                                  # discriminator's own update are zeroed
+                                  # below this step — adopt_weight
+                                  # semantics, vqperceptual.py:13-16)
+    adaptive_g_weight: bool = False
+                                  # rescale the g-term by
+                                  # ||∂nll/∂last|| / ||∂g/∂last|| clamped
+                                  # to [0, 1e4] (calculate_adaptive_weight,
+                                  # vqperceptual.py:67-78; last = the
+                                  # decoder conv_out kernel, model.py:403)
 
 
 def hinge_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray):
@@ -43,12 +57,14 @@ def vanilla_d_loss(logits_real: jnp.ndarray, logits_fake: jnp.ndarray):
 
 
 def generator_loss(x, x_rec, p_loss, logits_fake, codebook_loss,
-                   cfg: LossConfig):
-    """Returns (scalar loss, metrics dict)."""
+                   cfg: LossConfig, g_scale=1.0):
+    """Returns (scalar loss, metrics dict). g_scale multiplies the
+    adversarial term (disc warmup factor and/or adaptive weight; 1.0
+    reproduces the reference's effective constants)."""
     rec_loss = jnp.square(x.astype(jnp.float32) - x_rec.astype(jnp.float32))
     nll_loss = jnp.mean(rec_loss + cfg.perceptual_weight * p_loss)
     g_loss = -jnp.mean(logits_fake.astype(jnp.float32))
-    loss = (nll_loss + cfg.g_weight * g_loss
+    loss = (nll_loss + cfg.g_weight * g_scale * g_loss
             + cfg.codebook_weight * jnp.mean(codebook_loss))
     metrics = {
         "total_loss": loss,

@@ -67,7 +67,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ step
 
-    def _forward_losses(self, gen_params, disc_vars, lpips_params, x):
+    def _forward_losses(self, gen_params, disc_vars, lpips_params, x,
+                        g_scale=1.0):
         cfg = self.train_cfg
         rec, enc = self.model.apply(
             {"params": gen_params}, x, cfg.coarse_ratio, cfg.medium_ratio)
@@ -76,8 +77,38 @@ class Trainer:
             normalize=cfg.loss.lpips_normalize))
         logits_fake = self.disc.apply(disc_vars, rec, train=False)
         loss, metrics = generator_loss(
-            x, rec, p_loss, logits_fake, enc.emb_loss, cfg.loss)
+            x, rec, p_loss, logits_fake, enc.emb_loss, cfg.loss,
+            g_scale=g_scale)
         return loss, (rec, enc, metrics)
+
+    def _adaptive_g_weight(self, gen_params, disc_vars, lpips_params, x):
+        """The reference's calculate_adaptive_weight
+        (vqperceptual.py:67-78): ||∂nll/∂w|| / (||∂g/∂w|| + 1e-4) clamped
+        to [0, 1e4], with w = the decoder conv_out kernel (the "last
+        layer", model.py:403-404). Two extra backward passes, restricted
+        to scalar outputs — only paid when cfg.loss.adaptive_g_weight."""
+        cfg = self.train_cfg
+
+        def both_losses(kernel):
+            params = jax.tree_util.tree_map(lambda p: p, gen_params)
+            params["decoder"]["conv_out"]["kernel"] = kernel
+            rec, _ = self.model.apply(
+                {"params": params}, x, cfg.coarse_ratio, cfg.medium_ratio)
+            p_loss = jnp.mean(self.lpips.apply(
+                {"params": lpips_params}, rec, x,
+                normalize=cfg.loss.lpips_normalize))
+            rec_l = jnp.square(x.astype(jnp.float32)
+                               - rec.astype(jnp.float32))
+            nll = jnp.mean(rec_l + cfg.loss.perceptual_weight * p_loss)
+            g = -jnp.mean(self.disc.apply(disc_vars, rec,
+                                          train=False).astype(jnp.float32))
+            return jnp.stack([nll, g])
+
+        kernel = gen_params["decoder"]["conv_out"]["kernel"]
+        g_nll, g_g = jax.jacrev(both_losses)(kernel)
+        w = (jnp.linalg.norm(g_nll.reshape(-1))
+             / (jnp.linalg.norm(g_g.reshape(-1)) + 1e-4))
+        return jax.lax.stop_gradient(jnp.clip(w, 0.0, 1e4))
 
     def _train_step(self, state: TrainState, x: jnp.ndarray
                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -85,10 +116,19 @@ class Trainer:
         disc_vars = {"params": state.disc_params,
                      "batch_stats": state.disc_batch_stats}
 
+        # ---- adversarial-term scale: disc warmup x adaptive weight
+        # (both 1.0 by default — the reference's effective constants)
+        g_scale = 1.0
+        if cfg.loss.disc_start > 0:
+            g_scale = jnp.where(state.step >= cfg.loss.disc_start, 1.0, 0.0)
+        if cfg.loss.adaptive_g_weight:
+            g_scale = g_scale * self._adaptive_g_weight(
+                state.gen_params, disc_vars, state.lpips_params, x)
+
         # ---- generator update
         grad_fn = jax.value_and_grad(self._forward_losses, has_aux=True)
         (g_loss, (rec, enc, g_metrics)), g_grads = grad_fn(
-            state.gen_params, disc_vars, state.lpips_params, x)
+            state.gen_params, disc_vars, state.lpips_params, x, g_scale)
         updates, opt_gen = self.opt.update(g_grads, state.opt_gen,
                                            state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates)
@@ -107,6 +147,9 @@ class Trainer:
                 dvars2, rec_sg, train=True, mutable=["batch_stats"])
             loss, metrics = discriminator_loss(logits_real, logits_fake,
                                                cfg.loss)
+            if cfg.loss.disc_start > 0:   # adopt_weight on d_loss too
+                loss = loss * jnp.where(state.step >= cfg.loss.disc_start,
+                                        1.0, 0.0)
             return loss, (mutated2["batch_stats"], metrics)
 
         (d_loss, (new_stats, d_metrics)), d_grads = jax.value_and_grad(
