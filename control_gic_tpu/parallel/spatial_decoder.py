@@ -51,24 +51,27 @@ def _conv(x, p, *, same=True):
 
 
 def _conv_sharded(x, p, axis_name):
-    """3x3 (or any odd-kh) conv with halo rows; 1x1 stays local."""
-    if p["kernel"].shape[0] == 1:
+    """3x3 (or any odd-kh) conv with halo rows; 1x1 stays local.
+    axis_name=None (single-shard specialization) is a plain local conv."""
+    if axis_name is None or p["kernel"].shape[0] == 1:
         return _conv(x, p)
     return halo_conv2d(x, p["kernel"], p["bias"], axis_name)
 
 
 def _group_norm(x, scale, bias, axis_name, num_groups=32, eps=1e-6):
-    """GroupNorm with spatial stats psum-reduced over the sharded H axis."""
+    """GroupNorm with spatial stats psum-reduced over the sharded H axis
+    (identity psums skipped when axis_name is None)."""
     b, h, w, c = x.shape
     g = num_groups
     xg = x.reshape(b, h, w, g, c // g).astype(jnp.float32)
     # local partial sums over (H_local, W, C/g)
     s1 = jnp.sum(xg, axis=(1, 2, 4))                     # [B, g]
     s2 = jnp.sum(jnp.square(xg), axis=(1, 2, 4))
-    cnt = h * w * (c // g)
-    s1 = jax.lax.psum(s1, axis_name)
-    s2 = jax.lax.psum(s2, axis_name)
-    n = cnt * jax.lax.psum(1, axis_name)
+    n = h * w * (c // g)
+    if axis_name is not None:
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
     mean = s1 / n
     var = s2 / n - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
@@ -123,8 +126,9 @@ def _attn_block(x, zq, p, axis_name):
     # gather keys/values from all shards; queries stay local. The Tq != Tk
     # dispatch sends long global KV to the Pallas flash kernel on TPU
     # (avoids the [T_local, T_global] score matrix); einsum elsewhere.
-    k = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)   # [B, T, C]
-    v = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    if axis_name is not None:
+        k = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)  # [B,T,C]
+        v = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
     out = attention(q, k, v).astype(x.dtype)
     out = _conv(out.reshape(b, h, w, c), p["proj_out"])
     return x + out
@@ -186,8 +190,12 @@ def _decoder_shard(z, zq, m_c, m_m, m_f, params, *, axis_name: str,
             # must stay numerically in lockstep — CLAUDE.md invariant)
             p_up = params[f"up_{i_level}_upsample"]["conv"]
             if subpixel_enabled():
-                h = halo_upsample2_conv3x3(h, p_up["kernel"], p_up["bias"],
-                                           axis_name)
+                if axis_name is None:
+                    from ..ops.resample import upsample2_conv3x3
+                    h = upsample2_conv3x3(h, p_up["kernel"], p_up["bias"])
+                else:
+                    h = halo_upsample2_conv3x3(h, p_up["kernel"],
+                                               p_up["bias"], axis_name)
             else:
                 h = _up2_local(h)
                 h = _conv_sharded(h, p_up, axis_name)
@@ -231,7 +239,18 @@ def decode_spatial_sharded(mesh: Mesh, decoder_params, z, zq, masks, *,
 def _decode_fn_cached(mesh, axis, ch, ch_mult, num_res_blocks, attn_levels):
     """Jitted shard_map, cached per static config: rebuilding the closure
     each call forced a FULL retrace+recompile per invocation (the round-4
-    on-TPU smoke measured a 748 s 'warm' call before this cache)."""
+    on-TPU smoke measured a 748 s 'warm' call before this cache).
+
+    Single-shard specialization: at mesh axis size 1 the collective/halo
+    structure is pure overhead (identity psums, all-gathers, ppermute halo
+    plumbing — the round-4 verdict's measured 1.3-1.8x single-chip
+    penalty), so the body runs as a plain jit with axis_name=None and
+    every collective compiled out; the n>1 program is unchanged."""
+    if mesh.shape[axis] == 1:
+        body = functools.partial(
+            _decoder_shard, axis_name=None, ch=ch, ch_mult=ch_mult,
+            num_res_blocks=num_res_blocks, attn_levels=attn_levels)
+        return jax.jit(body)
     body = functools.partial(
         _decoder_shard, axis_name=axis, ch=ch, ch_mult=ch_mult,
         num_res_blocks=num_res_blocks, attn_levels=attn_levels)

@@ -37,9 +37,13 @@ def _group_norm_plain(x, p, axis_name, eps=1e-6, num_groups=32):
     b, h, w, c = x.shape
     g = num_groups
     xg = x.reshape(b, h, w, g, c // g).astype(jnp.float32)
-    s1 = jax.lax.psum(jnp.sum(xg, axis=(1, 2, 4)), axis_name)
-    s2 = jax.lax.psum(jnp.sum(jnp.square(xg), axis=(1, 2, 4)), axis_name)
-    n = h * w * (c // g) * jax.lax.psum(1, axis_name)
+    s1 = jnp.sum(xg, axis=(1, 2, 4))
+    s2 = jnp.sum(jnp.square(xg), axis=(1, 2, 4))
+    n = h * w * (c // g)
+    if axis_name is not None:     # None = single-shard specialization
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
     mean = s1 / n
     var = s2 / n - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
@@ -48,7 +52,7 @@ def _group_norm_plain(x, p, axis_name, eps=1e-6, num_groups=32):
 
 
 def _conv3_sharded(x, p, axis_name):
-    if p["kernel"].shape[0] == 1:
+    if axis_name is None or p["kernel"].shape[0] == 1:
         return _conv(x, p)
     xh = halo_exchange(x, p["kernel"].shape[0] // 2, axis_name)
     out = jax.lax.conv_general_dilated(
@@ -64,6 +68,11 @@ def _downsample_sharded(x, p, axis_name):
     3-row window starting at our last even row reaches one row past the
     boundary; the (0,1) pad form needs rows [2i, 2i+2]), zero-padding at the
     global bottom/right."""
+    if axis_name is None:         # local: the reference's (0,1) pad form
+        out = jax.lax.conv_general_dilated(
+            x, p["conv"]["kernel"], (2, 2), ((0, 1), (0, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + p["conv"]["bias"]
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     # rows from next shard: its first 2 rows
@@ -102,8 +111,9 @@ def _attn_plain(x, p, axis_name):
     v = _conv(hn, p["v"]).reshape(b, h * w, c)
     # local queries vs all-gathered keys/values; the Tq != Tk dispatch
     # uses the Pallas flash kernel for long global KV on TPU.
-    k = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
-    v = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    if axis_name is not None:
+        k = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
     out = attention(q, k, v).astype(x.dtype)
     return x + _conv(out.reshape(b, h, w, c), p["proj_out"])
 
@@ -123,6 +133,10 @@ def _router_sharded(e16, e8, coarse_ratio, medium_ratio, axis_name):
     triple_grain_router on the full map (all 7 modes, identical thresholds
     and tie behavior), then each shard keeps its own mask rows."""
     from ..ops.router import triple_grain_router
+
+    if axis_name is None:
+        out = triple_grain_router(e16, e8, coarse_ratio, medium_ratio)
+        return out.mask_coarse, out.mask_medium, out.mask_fine
 
     g16 = jax.lax.all_gather(e16, axis_name, axis=1, tiled=True)
     g8 = jax.lax.all_gather(e8, axis_name, axis=1, tiled=True)
@@ -214,16 +228,25 @@ def encode_spatial_sharded(mesh: Mesh, encoder_params, quant_conv_params,
 def _encode_fn_cached(mesh, axis, ch, ch_mult, num_res_blocks, attn_levels,
                       coarse_ratio, medium_ratio):
     """Jitted shard_map, cached per static config (see
-    spatial_decoder._decode_fn_cached — rebuilding per call recompiled)."""
+    spatial_decoder._decode_fn_cached — rebuilding per call recompiled).
+    At mesh axis size 1 the body runs as a plain jit with axis_name=None:
+    identity collectives and the halo/ppermute plumbing compile out (the
+    single-shard specialization; see _decode_fn_cached)."""
+    single = mesh.shape[axis] == 1
+
     def body(x, enc_params, qc_params, cb):
         fused, m_c, m_m, m_f = _encoder_shard(
-            x, enc_params, cb, axis_name=axis, ch=ch, ch_mult=ch_mult,
-            num_res_blocks=num_res_blocks, attn_levels=attn_levels,
-            coarse_ratio=coarse_ratio, medium_ratio=medium_ratio)
+            x, enc_params, cb, axis_name=None if single else axis, ch=ch,
+            ch_mult=ch_mult, num_res_blocks=num_res_blocks,
+            attn_levels=attn_levels, coarse_ratio=coarse_ratio,
+            medium_ratio=medium_ratio)
         z = _conv(fused, {"kernel": qc_params["kernel"],
                           "bias": qc_params["bias"]})
         idx = vq_lookup(z, cb)
         return idx, m_c, m_m, m_f
+
+    if single:
+        return jax.jit(body)
 
     sh = P(None, axis, None, None)
     shm = P(None, axis, None)

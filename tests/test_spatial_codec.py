@@ -31,3 +31,22 @@ def test_spatial_codec_matches_unsharded(rng):
     assert bpp == solo.bpp
     # reconstructions agree to sharded-numerics tolerance
     np.testing.assert_allclose(rec, rec_solo, atol=2e-4, rtol=2e-3)
+
+
+def test_spatial_codec_single_shard_streams_identical(rng):
+    """n=1 mesh takes the collective-free specialized encoder/decoder and
+    must keep BYTE-IDENTICAL streams (router mask parity is exact)."""
+    model = CGIC(CFG)
+    x0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, 0.1, 0.4)
+    codec = CGICCodec(model, variables, np.arange(1, CFG.n_embed + 1))
+
+    img = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
+    solo = codec.encode(img, 0.1, 0.4)
+    rec_solo = codec.decode(solo)
+
+    mesh = make_mesh(1)
+    rec, bpp, enc = compress_spatial(codec, img, 0.1, 0.4, mesh)
+    assert enc.streams == solo.streams
+    assert bpp == solo.bpp
+    np.testing.assert_allclose(rec, rec_solo, atol=2e-4, rtol=2e-3)
