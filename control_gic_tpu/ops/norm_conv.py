@@ -676,11 +676,26 @@ def chain_enabled() -> bool:
 
 def chain_admissible(x_shape: Tuple[int, ...], cout: int) -> bool:
     """Call-site gate for the chained path: enabled AND both convs of the
-    block shape-admissible."""
+    block shape-admissible AND the activation big enough to win.
+
+    The element gate reuses _fuse_min_elems (9M): the round-5 on-chip
+    in-model A/B reproduced the round-3 boundary exactly — all-chained
+    256² round-trip LOSES (122.5 -> 104 img/s; largest shape 8.4M
+    elems/sample) while the 6-tile 768² decode WINS 19% (1130 -> 911 ms;
+    chained shapes 9.4-75M elems/sample, bit-identical uint8 output).
+    Small compute-bound activations lose to XLA's global fusion; large
+    bandwidth-bound ones gain from the ~1RW chained pass."""
     if not chain_enabled():
         return False
-    return (admissible(x_shape, cout)
-            and admissible(x_shape[:3] + (cout,), cout))
+    if not (admissible(x_shape, cout)
+            and admissible(x_shape[:3] + (cout,), cout)):
+        return False
+    if _interpret_forced():
+        return True
+    rule = _RULE.get()
+    if rule is not None:
+        return bool(rule(x_shape, cout))
+    return (x_shape[1] * x_shape[2] * x_shape[3]) >= _fuse_min_elems()
 
 
 def _fuse_min_elems() -> int:

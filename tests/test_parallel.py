@@ -197,3 +197,37 @@ def test_make_mesh_nd_nonsquare():
         for k in (1, 2, 3):
             shape = _balanced_shape(n, k)
             assert len(shape) == k and int(np.prod(shape)) == n, (n, k, shape)
+
+
+def test_disc_warmup_and_adaptive_weight(rng):
+    """Opt-in GAN knobs: before disc_start the discriminator params are
+    frozen and the generator's g-term contributes nothing; the adaptive
+    weight yields a finite positive scale. Defaults replicate the
+    reference's effective constants (the knobs replicate its dead code,
+    vqperceptual.py:13-16,67-78)."""
+    import dataclasses
+
+    from control_gic_tpu.train import TrainConfig, Trainer, create_train_state
+    from control_gic_tpu.train.losses import LossConfig
+
+    cfg = TrainConfig(loss=LossConfig(disc_start=2, adaptive_g_weight=True))
+    trainer = Trainer(TINY, cfg)
+    state = create_train_state(jax.random.PRNGKey(0), TINY, cfg,
+                               image_size=64)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    d0 = state.disc_params
+    state, m = trainer.train_step(state, x)
+    # step 0 < disc_start: zero disc grads -> disc params unchanged
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), d0, state.disc_params))
+    assert same, "discriminator must be frozen before disc_start"
+    assert np.isfinite(float(m["train/total_loss"]))
+
+    # past disc_start the discriminator trains
+    state = state.replace(step=jnp.asarray(5, state.step.dtype))
+    d1 = state.disc_params
+    state, m = trainer.train_step(state, x)
+    changed = not jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), d1, state.disc_params))
+    assert changed, "discriminator must train after disc_start"
+    assert np.isfinite(float(m["train/total_loss"]))

@@ -82,7 +82,7 @@ print(f"RESULT pid={pid} ips={gbatch/dt:.4f} step_ms={dt*1e3:.1f} "
 '''
 
 
-def run_multiproc(steps: int) -> None:
+def run_multiproc(steps: int, per_dev_sweep=None) -> None:
     import tempfile
     here = os.path.dirname(os.path.abspath(__file__))
     fd, worker = tempfile.mkstemp(suffix="_mp_worker.py")
@@ -90,21 +90,25 @@ def run_multiproc(steps: int) -> None:
         f.write(_MP_WORKER)
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(here)
-    # Bind an ephemeral port and release it for the coordinator: a fixed
-    # pid-derived port can collide with an in-use socket (or a stale
-    # coordinator from a killed run) and hang distributed init until the
-    # 900 s subprocess timeout.
-    import socket
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = str(s.getsockname()[1])
 
-    def launch(nloc, nproc):
+    def fresh_port():
+        # Bind an ephemeral port and release it for the coordinator: a
+        # fixed pid-derived port can collide with an in-use socket (or a
+        # stale coordinator from a killed run) and hang distributed init
+        # until the 900 s subprocess timeout.
+        import socket
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return str(s.getsockname()[1])
+
+    def launch(nloc, nproc, per_dev=1):
+        env["MP_PER_DEV"] = str(per_dev)
+        port = fresh_port()
         procs = [subprocess.Popen(
             [sys.executable, worker, str(i), str(nloc), str(nproc),
              str(steps), port], stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, env=env) for i in range(nproc)]
-        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
         for p, o in zip(procs, outs):
             assert p.returncode == 0, o[-2000:]
         ips = [float(line.split("ips=")[1].split()[0])
@@ -113,6 +117,20 @@ def run_multiproc(steps: int) -> None:
         return ips
 
     try:
+        if per_dev_sweep:
+            # Asymptote sweep: the cross-process overhead (distributed
+            # init, collectives, global array assembly) is per-STEP, so
+            # efficiency vs the single-process baseline must rise toward
+            # 1 as per-device batch grows. Table goes to STATUS.md.
+            print("per-dev-batch  1proc_img/s  2proc_img/s  efficiency")
+            for pd in per_dev_sweep:
+                base = launch(2, 1, per_dev=pd)[0]
+                two = launch(1, 2, per_dev=pd)[0]
+                print(f"{pd:13d}  {base:11.3f}  {two:11.3f}  "
+                      f"{two / base:9.1%}", flush=True)
+            print("NOTE: CPU-mesh mechanism evidence (2 cores shared), "
+                  "not a TPU performance statement.")
+            return
         print("1 process x 2 devices (baseline)...")
         base = launch(2, 1)[0]
         print(f"  {base:.3f} img/s")
@@ -138,10 +156,13 @@ def main():
     p.add_argument("--multiproc", action="store_true",
                    help="two-process jax.distributed vs single-process "
                         "at equal device count")
+    p.add_argument("--per-dev-sweep", type=int, nargs="+", default=None,
+                   help="with --multiproc: sweep per-device batch sizes "
+                        "and print the efficiency asymptote table")
     args = p.parse_args()
 
     if args.multiproc:
-        run_multiproc(args.steps)
+        run_multiproc(args.steps, per_dev_sweep=args.per_dev_sweep)
         return
 
     import jax

@@ -7,6 +7,9 @@ then validates checkpoint save -> restore byte-stability and continuation.
 
 python tools/train_steps.py
   env: TS_BATCH=4 TS_STEPS=200 TS_LOG_EVERY=10 TS_CKPT_DIR=/tmp/ts_ckpt
+       TS_DISC_START=0 TS_ADAPTIVE=0   (opt-in GAN schedule knobs — the
+       round-5 recipe run uses TS_DISC_START=1000 TS_ADAPTIVE=1 to show
+       rec_loss keeps improving after the discriminator engages)
 
 Reference training-loop semantics: /root/reference/CGIC/models/model.py:155-204
 (165k-step recipe, configs/config_train.yaml:4-16). This tool is the
@@ -66,8 +69,17 @@ def main():
     ckpt_dir = os.environ.get("TS_CKPT_DIR", "/tmp/ts_ckpt")
     size = int(os.environ.get("TS_SIZE", "256"))
 
+    disc_start = int(os.environ.get("TS_DISC_START", "0"))
+    adaptive = os.environ.get("TS_ADAPTIVE", "0") == "1"
     cfg = CGICConfig(dtype="bfloat16", remat=True)
     tcfg = TrainConfig()
+    if disc_start or adaptive:
+        import dataclasses
+
+        from control_gic_tpu.train.losses import LossConfig
+        tcfg = dataclasses.replace(tcfg, loss=LossConfig(
+            disc_start=disc_start, adaptive_g_weight=adaptive))
+        print(f"GAN schedule: disc_start={disc_start} adaptive={adaptive}")
     trainer = Trainer(cfg, tcfg)
     state = create_train_state(jax.random.PRNGKey(0), cfg, tcfg,
                                image_size=size)
