@@ -27,8 +27,9 @@ from flax import linen as nn
 from ..ops.attention import attention
 from ..ops.fused_norm import spatial_norm
 from ..ops.norm_conv import (chain_admissible, group_norm_conv,
-                             norm_conv_worthwhile, spatial_norm_conv,
-                             spatial_norm_conv_mom, stats_from_moments)
+                             group_norm_conv_mom, norm_conv_worthwhile,
+                             spatial_norm_conv, spatial_norm_conv_mom,
+                             stats_from_moments)
 from ..ops.resample import (nearest_resize, subpixel_enabled,
                             upsample2_conv3x3, upsample_nearest)
 
@@ -166,11 +167,10 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
 
-        chain = (self.zq_cond and zq is not None
-                 and (self.dropout == 0.0 or deterministic)
+        chain = ((self.dropout == 0.0 or deterministic)
                  and (emit_mom or mom_in is not None)
                  and chain_admissible(x.shape, out_ch))
-        if chain:
+        if chain and self.zq_cond and zq is not None:
             xd = x.astype(self.dtype)
             zq_r, *np1 = _Norm(True, self.dtype, name="norm1")(
                 x, zq, return_params=True)
@@ -189,6 +189,26 @@ class ResnetBlock(nn.Module):
             stats2 = stats_from_moments(mom1, h.shape[1] * h.shape[2])
             return spatial_norm_conv_mom(
                 h, zq_r, *np2, k2, b2, res=res, stats=stats2,
+                act_swish=True, emit_mom=emit_mom, use_fused=True)
+        if chain and not self.zq_cond:
+            xd = x.astype(self.dtype)
+            g1, gb1 = _Norm(False, self.dtype, name="norm1")(
+                x, return_params=True)
+            k1, b1 = _Conv3x3Params(in_ch, out_ch, name="conv1")()
+            stats1 = (stats_from_moments(mom_in, x.shape[1] * x.shape[2])
+                      if mom_in is not None else None)
+            h, mom1 = group_norm_conv_mom(
+                xd, g1, gb1, k1, b1, stats=stats1, act_swish=True,
+                emit_mom=True, use_fused=True)
+            g2, gb2 = _Norm(False, self.dtype, name="norm2")(
+                h, return_params=True)
+            k2, b2 = _Conv3x3Params(out_ch, out_ch, name="conv2")()
+            res = (nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                           name="nin_shortcut")(x)
+                   if in_ch != out_ch else xd)
+            stats2 = stats_from_moments(mom1, h.shape[1] * h.shape[2])
+            return group_norm_conv_mom(
+                h, g2, gb2, k2, b2, res=res, stats=stats2,
                 act_swish=True, emit_mom=emit_mom, use_fused=True)
         assert mom_in is None and not emit_mom, \
             "mom_in/emit_mom passed to a block that cannot chain " \

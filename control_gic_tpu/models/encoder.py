@@ -22,7 +22,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.norm_conv import group_norm_conv, norm_conv_worthwhile
+from ..ops.norm_conv import (chain_admissible, group_norm_conv,
+                             norm_conv_worthwhile)
 from .blocks import (AttnBlock, Downsample, GroupNorm32, ResnetBlock, swish,
                      _Conv3x3Params)
 
@@ -79,17 +80,40 @@ class Encoder(nn.Module):
 
         h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="conv_in")(x)
         h_fine = h_medium = None
+        # Stats-in-epilogue chaining across consecutive trunk blocks (see
+        # models/decoder.py — same policy, GroupNorm form): each chained
+        # block's epilogue moments feed the next block's norm stats.
+        # Attention and Downsample invalidate the running moments.
+        use_chain = not self.remat and deterministic
+        mom = None
         for i_level in range(num_res):
             block_out = self.ch * self.ch_mult[i_level]
+            attn_here = curr_res in self.attn_resolutions
             for i_block in range(self.num_res_blocks):
-                h = Res(
-                    out_channels=block_out, dropout=self.dropout,
-                    dtype=self.dtype,
-                    name=f"down_{i_level}_block_{i_block}")(
-                        h, deterministic=deterministic)
-                if curr_res in self.attn_resolutions:
+                blk_chain = (use_chain and not attn_here
+                             and chain_admissible(h.shape, block_out))
+                out_shape = h.shape[:3] + (block_out,)
+                consumer = (blk_chain and i_block < self.num_res_blocks - 1
+                            and chain_admissible(out_shape, block_out))
+                if blk_chain:
+                    out = Res(
+                        out_channels=block_out, dropout=self.dropout,
+                        dtype=self.dtype,
+                        name=f"down_{i_level}_block_{i_block}")(
+                            h, deterministic=deterministic,
+                            mom_in=mom, emit_mom=consumer)
+                    h, mom = out if consumer else (out, None)
+                else:
+                    h = Res(
+                        out_channels=block_out, dropout=self.dropout,
+                        dtype=self.dtype,
+                        name=f"down_{i_level}_block_{i_block}")(
+                            h, deterministic=deterministic)
+                    mom = None
+                if attn_here:
                     h = Attn(dtype=self.dtype,
                              name=f"down_{i_level}_attn_{i_block}")(h)
+                    mom = None
             if i_level == num_res - 3:
                 h_fine = h
             if i_level == num_res - 2:
@@ -98,6 +122,7 @@ class Encoder(nn.Module):
                 h = Downsample(dtype=self.dtype,
                                name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
+                mom = None
         h_coarse = h
 
         z_fine = _MidHead(self.z_channels, self.dropout, self.dtype,

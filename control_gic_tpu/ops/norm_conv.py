@@ -134,7 +134,8 @@ def _kernel(*refs, act_swish: bool, modulate: bool, bh: int,
 
 
 def _kernel_chain(*refs, act_swish: bool, has_res: bool, emit_mom: bool,
-                  bh: int, w: int, cin: int, co: int, nh: int):
+                  modulate: bool, bh: int, w: int, cin: int, co: int,
+                  nh: int):
     """SpatialNorm(+swish)+conv with an optional fused RESIDUAL add and
     the next norm's MOMENTS (per-channel sum/sumsq of the final output)
     optionally emitted from the epilogue — the stats-in-epilogue
@@ -151,9 +152,14 @@ def _kernel_chain(*refs, act_swish: bool, has_res: bool, emit_mom: bool,
 
     it = iter(refs)
     x_ref, xp_ref, xn_ref = next(it), next(it), next(it)
-    zq_ref, zqp_ref, zqn_ref = next(it), next(it), next(it)
+    if modulate:
+        zq_ref, zqp_ref, zqn_ref = next(it), next(it), next(it)
+    else:
+        zq_ref = zqp_ref = zqn_ref = None
     mean_ref, rstd_ref, gs_ref, gb_ref = next(it), next(it), next(it), next(it)
-    wy_ref, by_ref, wb_ref, bb_ref = next(it), next(it), next(it), next(it)
+    if modulate:
+        wy_ref, by_ref, wb_ref, bb_ref = (next(it), next(it), next(it),
+                                          next(it))
     cw_ref, cb_ref = next(it), next(it)
     res_ref = next(it) if has_res else None
     o_ref = next(it)
@@ -165,26 +171,31 @@ def _kernel_chain(*refs, act_swish: bool, has_res: bool, emit_mom: bool,
     mean = mean_ref[ib]
     scale = rstd_ref[ib] * gs_ref[0]
     beta = gb_ref[0]
-    wy = wy_ref[...].astype(jnp.float32)
-    wb = wb_ref[...].astype(jnp.float32)
-    by = by_ref[0]
-    bb = bb_ref[0]
+    if modulate:
+        wy = wy_ref[...].astype(jnp.float32)
+        wb = wb_ref[...].astype(jnp.float32)
+        by = by_ref[0]
+        bb = bb_ref[0]
     cdtype = x_ref.dtype
 
     def act(xv, zv):
         out = (xv.astype(jnp.float32) - mean) * scale + beta
-        zf = zv.astype(jnp.float32)
-        y = jnp.dot(zf, wy, preferred_element_type=jnp.float32) + by
-        bm = jnp.dot(zf, wb, preferred_element_type=jnp.float32) + bb
-        out = out * y + bm
+        if modulate:
+            zf = zv.astype(jnp.float32)
+            y = jnp.dot(zf, wy, preferred_element_type=jnp.float32) + by
+            bm = jnp.dot(zf, wb, preferred_element_type=jnp.float32) + bb
+            out = out * y + bm
         if act_swish:
             out = out * (1.0 / (1.0 + jnp.exp(-out)))
         return out.astype(cdtype)
 
-    a_mid = act(x_ref[0], zq_ref[0])
-    a_top = jnp.where(ih > 0, act(xp_ref[0], zqp_ref[0]), 0).astype(cdtype)
+    zq0 = zq_ref[0] if modulate else None
+    zqp0 = zqp_ref[0] if modulate else None
+    zqn0 = zqn_ref[0] if modulate else None
+    a_mid = act(x_ref[0], zq0)
+    a_top = jnp.where(ih > 0, act(xp_ref[0], zqp0), 0).astype(cdtype)
     a_bot = jnp.where(ih < nh - 1,
-                      act(xn_ref[0], zqn_ref[0]), 0).astype(cdtype)
+                      act(xn_ref[0], zqn0), 0).astype(cdtype)
     a = jnp.concatenate([a_top, a_mid, a_bot], axis=0)
     zcol = jnp.zeros((bh + 2, 1, cin), cdtype)
     a = jnp.concatenate([zcol, a, zcol], axis=1)
@@ -256,6 +267,18 @@ def spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
     return out.astype(x.dtype)
 
 
+def _mom_epilogue(out, res, x_dtype, emit_mom):
+    if res is not None:
+        out = out.astype(jnp.float32) + res.astype(jnp.float32)
+    out = out.astype(x_dtype)
+    if not emit_mom:
+        return out
+    of = out.astype(jnp.float32)
+    mom = jnp.stack([of.sum(axis=(1, 2)),
+                     (of * of).sum(axis=(1, 2))], axis=1)
+    return out, mom
+
+
 def chain_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res=None,
                     stats=None, act_swish: bool = True,
                     emit_mom: bool = True):
@@ -265,16 +288,34 @@ def chain_reference(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res=None,
     [B, 2, Cout] moments of the dtype-rounded output."""
     out = _conv3x3(spatial_norm_kernel_act(x, zq_r, gs, gb, wy, by, wb, bb,
                                            act_swish, stats=stats), cw, cb)
-    if res is not None:
-        out = (out.astype(jnp.float32)
-               + res.astype(jnp.float32))
-    out = out.astype(x.dtype)
-    if not emit_mom:
-        return out
-    of = out.astype(jnp.float32)
-    mom = jnp.stack([of.sum(axis=(1, 2)),
-                     (of * of).sum(axis=(1, 2))], axis=1)
-    return out, mom
+    return _mom_epilogue(out, res, x.dtype, emit_mom)
+
+
+def group_norm_kernel_act(x, gs, gb, act_swish: bool, stats=None):
+    """Plain GroupNorm(+swish) in the kernel's numerics (f32 normalize,
+    optional precomputed stats) — the modulate=False activation."""
+    if stats is None:
+        mean, rstd = _gn_stats(x, GROUPS)
+        cg = x.shape[-1] // GROUPS
+        mean_c = jnp.repeat(mean, cg, axis=1)
+        rstd_c = jnp.repeat(rstd, cg, axis=1)
+    else:
+        mean_c, rstd_c = stats
+    out = ((x.astype(jnp.float32) - mean_c[:, None, None, :])
+           * (rstd_c[:, None, None, :] * gs.astype(jnp.float32))
+           + gb.astype(jnp.float32))
+    if act_swish:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
+
+
+def plain_chain_reference(x, gs, gb, cw, cb, res=None, stats=None,
+                          act_swish: bool = True, emit_mom: bool = True):
+    """Unfused composition of the plain (GroupNorm, encoder-side) chained
+    kernel; see chain_reference."""
+    out = _conv3x3(group_norm_kernel_act(x, gs, gb, act_swish,
+                                         stats=stats), cw, cb)
+    return _mom_epilogue(out, res, x.dtype, emit_mom)
 
 
 def norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
@@ -287,6 +328,17 @@ def norm_conv_res_moments_reference(x, zq_r, gs, gb, wy, by, wb, bb,
 def _chain_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, stats,
                    act_swish: bool, emit_mom: bool,
                    interpret: bool = False):
+    """Modulated (SpatialNorm) chained forward; zq_r/wy/by/wb/bb may be
+    None for the plain GroupNorm variant (see _chain_forward_impl)."""
+    return _chain_forward_impl(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
+                               res, stats, act_swish=act_swish,
+                               emit_mom=emit_mom, modulate=True,
+                               interpret=interpret)
+
+
+def _chain_forward_impl(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res,
+                        stats, *, act_swish: bool, emit_mom: bool,
+                        modulate: bool, interpret: bool = False):
     from jax.experimental import pallas as pl
 
     b, h, w, cin = x.shape
@@ -313,10 +365,8 @@ def _chain_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, stats,
             rstd_c = jnp.repeat(rstd, cg, axis=1)
 
     xp, xn = _halo_rows(x, bh)
-    zp, zn = _halo_rows(zq_r, bh)
     cwr = cw.reshape(9, cin, cout).astype(x.dtype)
     f32 = jnp.float32
-    z = zq_r.shape[-1]
 
     row4 = lambda ib, ico, ih: (ib, ih, 0, 0)
     fixed2 = lambda ib, ico, ih: (0, 0)
@@ -324,25 +374,39 @@ def _chain_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, stats,
         pl.BlockSpec((1, bh, w, cin), row4),
         pl.BlockSpec((1, 1, w, cin), row4),
         pl.BlockSpec((1, 1, w, cin), row4),
-        pl.BlockSpec((1, bh, w, z), row4),
-        pl.BlockSpec((1, 1, w, z), row4),
-        pl.BlockSpec((1, 1, w, z), row4),
+    ]
+    operands = [x, xp, xn]
+    if modulate:
+        z = zq_r.shape[-1]
+        zp, zn = _halo_rows(zq_r, bh)
+        in_specs += [
+            pl.BlockSpec((1, bh, w, z), row4),
+            pl.BlockSpec((1, 1, w, z), row4),
+            pl.BlockSpec((1, 1, w, z), row4),
+        ]
+        operands += [zq_r, zp, zn]
+    in_specs += [
         pl.BlockSpec((b, cin), fixed2),
         pl.BlockSpec((b, cin), fixed2),
         pl.BlockSpec((1, cin), fixed2),
         pl.BlockSpec((1, cin), fixed2),
-        pl.BlockSpec((z, cin), fixed2),
-        pl.BlockSpec((1, cin), fixed2),
-        pl.BlockSpec((z, cin), fixed2),
-        pl.BlockSpec((1, cin), fixed2),
+    ]
+    operands += [mean_c, rstd_c,
+                 gs.astype(f32)[None], gb.astype(f32)[None]]
+    if modulate:
+        in_specs += [
+            pl.BlockSpec((z, cin), fixed2),
+            pl.BlockSpec((1, cin), fixed2),
+            pl.BlockSpec((z, cin), fixed2),
+            pl.BlockSpec((1, cin), fixed2),
+        ]
+        operands += [wy.astype(f32), by.astype(f32)[None],
+                     wb.astype(f32), bb.astype(f32)[None]]
+    in_specs += [
         pl.BlockSpec((9, cin, co_blk), lambda ib, ico, ih: (0, 0, ico)),
         pl.BlockSpec((1, co_blk), lambda ib, ico, ih: (0, ico)),
     ]
-    operands = [x, xp, xn, zq_r, zp, zn, mean_c, rstd_c,
-                gs.astype(f32)[None], gb.astype(f32)[None],
-                wy.astype(f32), by.astype(f32)[None],
-                wb.astype(f32), bb.astype(f32)[None],
-                cwr, cb.astype(f32)[None]]
+    operands += [cwr, cb.astype(f32)[None]]
     if res is not None:
         in_specs.append(pl.BlockSpec(
             (1, bh, w, co_blk), lambda ib, ico, ih: (ib, ih, 0, ico)))
@@ -358,7 +422,8 @@ def _chain_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, stats,
 
     kernel = functools.partial(_kernel_chain, act_swish=act_swish,
                                has_res=res is not None, emit_mom=emit_mom,
-                               bh=bh, w=w, cin=cin, co=co_blk, nh=nh)
+                               modulate=modulate, bh=bh, w=w, cin=cin,
+                               co=co_blk, nh=nh)
     out = pl.pallas_call(
         kernel,
         grid=(b, nco, nh),
@@ -372,26 +437,36 @@ def _chain_forward(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb, res, stats,
 
 @functools.lru_cache(maxsize=None)
 def _chain_custom(act_swish: bool, has_res: bool, has_stats: bool,
-                  emit_mom: bool, interpret: bool = False):
+                  emit_mom: bool, interpret: bool = False,
+                  modulate: bool = True):
     """custom-VJP wrapper for one static chained-kernel configuration.
 
-    Positional layout: 10 base args (x, zq_r, gs, gb, wy, by, wb, bb, cw,
-    cb), then res if has_res, then mean_c, rstd_c if has_stats. The
-    backward recomputes through chain_reference (jnp/XLA), so gradients
-    are identical to the unfused composition — including cotangents for
-    externally-supplied stats, which flow back through the producing
-    block's moments."""
+    Positional layout: the base args (x, zq_r, gs, gb, wy, by, wb, bb,
+    cw, cb for the modulated form; x, gs, gb, cw, cb for the plain
+    GroupNorm form), then res if has_res, then mean_c, rstd_c if
+    has_stats. The backward recomputes through chain_reference /
+    plain_chain_reference (jnp/XLA), so gradients are identical to the
+    unfused composition — including cotangents for externally-supplied
+    stats, which flow back through the producing block's moments."""
+    nbase = 10 if modulate else 5
+
     def split(args):
-        res = args[10] if has_res else None
-        k = 10 + int(has_res)
+        res = args[nbase] if has_res else None
+        k = nbase + int(has_res)
         stats = (args[k], args[k + 1]) if has_stats else None
-        return args[:10], res, stats
+        return args[:nbase], res, stats
 
     @jax.custom_vjp
     def fn(*args):
         base, res, stats = split(args)
-        return _chain_forward(*base, res, stats, act_swish, emit_mom,
-                              interpret=interpret)
+        if modulate:
+            return _chain_forward(*base, res, stats, act_swish, emit_mom,
+                                  interpret=interpret)
+        x, gs, gb, cw, cb = base
+        return _chain_forward_impl(x, None, gs, gb, None, None, None,
+                                   None, cw, cb, res, stats,
+                                   act_swish=act_swish, emit_mom=emit_mom,
+                                   modulate=False, interpret=interpret)
 
     def fwd(*args):
         return fn(*args), args
@@ -399,8 +474,13 @@ def _chain_custom(act_swish: bool, has_res: bool, has_stats: bool,
     def bwd(args, g):
         def ref(*a):
             base, res, stats = split(a)
-            return chain_reference(*base, res=res, stats=stats,
-                                   act_swish=act_swish, emit_mom=emit_mom)
+            if modulate:
+                return chain_reference(*base, res=res, stats=stats,
+                                       act_swish=act_swish,
+                                       emit_mom=emit_mom)
+            return plain_chain_reference(*base, res=res, stats=stats,
+                                         act_swish=act_swish,
+                                         emit_mom=emit_mom)
 
         _, vjp = jax.vjp(ref, *args)
         return vjp(g)
@@ -446,6 +526,32 @@ def spatial_norm_conv_res_moments(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
     return spatial_norm_conv_mom(x, zq_r, gs, gb, wy, by, wb, bb, cw, cb,
                                  res=res, act_swish=act_swish,
                                  emit_mom=True, use_fused=use_fused)
+
+
+def group_norm_conv_mom(x, gs, gb, cw, cb, res=None, stats=None,
+                        act_swish: bool = True, emit_mom: bool = True,
+                        use_fused: Optional[bool] = None):
+    """Plain GroupNorm(+swish) -> 3x3 conv [-> +residual] with optional
+    precomputed stats in and optional epilogue moments out — the
+    encoder-side (no zq modulation) chained building block. Returns out,
+    or (out, moments [B, 2, Cout]) with emit_mom. Reference composition
+    off-TPU/inadmissible."""
+    if use_fused is None:
+        use_fused = (norm_conv_enabled()
+                     and admissible(x.shape, cw.shape[-1])
+                     and admissible(x.shape[:3] + (cw.shape[-1],),
+                                    cw.shape[-1]))
+    if use_fused:
+        fn = _chain_custom(act_swish, res is not None, stats is not None,
+                           emit_mom, _interpret_forced(), modulate=False)
+        args = [x, gs, gb, cw, cb]
+        if res is not None:
+            args.append(res)
+        if stats is not None:
+            args.extend(stats)
+        return fn(*args)
+    return plain_chain_reference(x, gs, gb, cw, cb, res=res, stats=stats,
+                                 act_swish=act_swish, emit_mom=emit_mom)
 
 
 def _pick_bh(h: int, w: int, cin: int = 128, itemsize: int = 2,
@@ -664,14 +770,19 @@ def chain_enabled() -> bool:
     Separate from norm_conv_enabled(): the non-chained per-call kernels
     measured as in-model losses (see norm_conv_enabled history), while the
     chain amortizes the stats pass ACROSS blocks — the configuration the
-    round-4 bandwidth analysis says can beat XLA. Default OFF until the
-    on-chip in-model A/B lands (see DESIGN.md for the measurement)."""
+    round-4 bandwidth analysis says can beat XLA. Default ON for TPU,
+    shape-gated (see chain_admissible): round-5 on-chip A/Bs measured the
+    6-tile 768² decode at 1130 -> 911 ms all-chained (and 1073 -> 860 for
+    the full decode+stitch program, bit-identical uint8 output) while the
+    256² round-trip LOSES all-chained (122.5 -> 104 img/s) — so the
+    element gate keeps 256²-class programs on pure XLA and the gated
+    default only changes programs where the chain wins."""
     flag = os.environ.get("CONTROL_GIC_CHAIN", "")
     if flag == "interpret":
         return True
     if jax.default_backend() in ("cpu", "gpu"):
         return False
-    return flag == "1"
+    return flag != "0"
 
 
 def chain_admissible(x_shape: Tuple[int, ...], cout: int) -> bool:

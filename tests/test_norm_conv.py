@@ -380,3 +380,53 @@ def test_decoder_chained_trunk_wiring(rng, monkeypatch):
     got = dec.apply(params, z, zq, masks)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-4, rtol=2e-4)
+
+
+def test_plain_chain_kernel_variants_match_reference(rng):
+    """The GroupNorm (encoder-side, modulate=False) chain kernel ==
+    plain_chain_reference across res x stats x moments configs."""
+    from control_gic_tpu.ops.fused_norm import _gn_stats
+    from control_gic_tpu.ops.norm_conv import (_chain_forward_impl,
+                                               plain_chain_reference)
+
+    x, gs, gb, cw, cb = _plain_inputs(rng, h=16, w=16)
+    res = jnp.asarray(rng.normal(size=x.shape), x.dtype)
+    mean, rstd = _gn_stats(x, 32)
+    cg = x.shape[-1] // 32
+    stats = (jnp.repeat(mean, cg, axis=1), jnp.repeat(rstd, cg, axis=1))
+    for r in (None, res):
+        for st in (None, stats):
+            for em in (False, True):
+                want = plain_chain_reference(x, gs, gb, cw, cb, res=r,
+                                             stats=st, act_swish=True,
+                                             emit_mom=em)
+                got = _chain_forward_impl(
+                    x, None, gs, gb, None, None, None, None, cw, cb, r,
+                    st, act_swish=True, emit_mom=em, modulate=False,
+                    interpret=True)
+                if em:
+                    np.testing.assert_allclose(got[0], want[0],
+                                               atol=2e-5, rtol=1e-5)
+                    np.testing.assert_allclose(got[1], want[1],
+                                               atol=2e-3, rtol=1e-5)
+                else:
+                    np.testing.assert_allclose(got, want,
+                                               atol=2e-5, rtol=1e-5)
+
+
+def test_encoder_chained_trunk_wiring(rng, monkeypatch):
+    """Full Encoder with CONTROL_GIC_CHAIN=interpret (GroupNorm moments
+    threaded across trunk blocks) == the plain XLA encoder."""
+    from control_gic_tpu.models.encoder import Encoder
+
+    enc = Encoder(ch=128, ch_mult=(1, 2, 2), num_res_blocks=2,
+                  attn_resolutions=(), resolution=32, z_channels=4)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    want = enc.apply(params, x)
+
+    monkeypatch.setenv("CONTROL_GIC_CHAIN", "interpret")
+    got = enc.apply(params, x)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=5e-4, rtol=2e-4)
