@@ -347,7 +347,7 @@ def main():
                     codec = CGICCodec(model, variables, counts)
                 th, tw = (int(v) for v in os.environ.get(
                     "BENCH_TILED_HW", "1536x2304").split("x"))
-                n2k = 6   # enough images that pipeline fill/drain amortizes
+                n2k = 8   # enough images that pipeline fill/drain amortizes
                 imgs2k = [im[0] for im in u8_imgs((1, th, tw, 3), n2k)]
                 compress_tiled_device(codec, imgs2k[:1], 0.1, 0.4)  # warm
                 t0 = _now()
