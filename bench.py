@@ -128,21 +128,32 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x0, 0.1, 0.4)
 
     # Timing methodology: the experimental TPU runtime dedupes repeated
-    # identical executions and its block_until_ready is unreliable for
-    # batched async dispatch, both of which inflate naive host loops ~100x.
-    # Device-only configs run all iterations inside ONE jitted lax.scan over
-    # distinct inputs (single dispatch, single scalar fetch). Host-in-the-
-    # loop configs (entropy stage) have real data dependencies through host
+    # IDENTICAL executions, which inflates naive loops ~100x — so every
+    # iteration gets a distinct input. Device-only configs dispatch N
+    # async executions of one jitted forward over distinct batches and
+    # fetch ONE scalar that data-depends on all of them (the device
+    # executes dispatches in order; the final float() syncs everything).
+    # Round-5 note: this was previously one lax.scan over the inputs, but
+    # the axon runtime was observed to execute loop-carried programs
+    # 5-8x slower in some sessions (scan n=2: 501 ms/step; unroll=10:
+    # 200 ms/step; plain dispatch of the SAME body: 66.5 ms — measured
+    # same-session) — the dispatch form is numerically the same
+    # measurement and immune to that runtime state. Host-in-the-loop
+    # configs (entropy stage) have real data dependencies through host
     # bytes each iteration, so wall-clock over distinct inputs is sound.
-    def roundtrip_scan_fn(hw):
+    def roundtrip_fwd_fn(hw):
         @jax.jit
-        def roundtrip_scan(variables, xs):
-            def body(acc, x):
-                rec, enc = model.apply(variables, x, 0.1, 0.4)
-                return acc + jnp.sum(rec.astype(jnp.float32)), None
-            acc, _ = jax.lax.scan(body, jnp.zeros(()), xs)
-            return acc
-        return roundtrip_scan
+        def fwd(variables, x):
+            rec, enc = model.apply(variables, x, 0.1, 0.4)
+            return jnp.sum(rec.astype(jnp.float32))
+        return fwd
+
+    def time_roundtrip(fn, variables, xs):
+        """xs: [n, B, H, W, 3] distinct batches -> seconds for all n."""
+        t0 = _now()
+        accs = [fn(variables, xs[i]) for i in range(xs.shape[0])]
+        float(sum(accs))
+        return _now() - t0
 
     def rand_imgs(shape):
         return jnp.asarray(rng.uniform(0, 1, shape), jnp.float32)
@@ -150,8 +161,8 @@ def main():
     extra = {}
 
     # ------------------------------------------------ headline: rt256
-    fn = roundtrip_scan_fn((256, 256))
-    xs_warm = rand_imgs((iters, batch, 256, 256, 3))
+    fn = roundtrip_fwd_fn((256, 256))
+    xs_warm = rand_imgs((2, batch, 256, 256, 3))
     xs = rand_imgs((iters, batch, 256, 256, 3))
     try:  # live cost analysis, logged for reference only (see FLOPS note)
         lowered = jax.jit(
@@ -163,13 +174,11 @@ def main():
             extra["flops_live_tflops"] = round(float(ca["flops"]) / 1e12, 4)
     except Exception:
         pass
-    float(fn(variables, xs_warm))   # warmup / compile
+    time_roundtrip(fn, variables, xs_warm)   # warmup / compile
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    t0 = _now()
-    float(fn(variables, xs))
-    dt = _now() - t0
+    dt = time_roundtrip(fn, variables, xs)
     if profile_dir:
         jax.profiler.stop_trace()
     rt256 = batch * iters / dt
@@ -277,13 +286,12 @@ def main():
                 extra["codec256_diag"] = diag
             elif name == "kodak":
                 kb = int(os.environ.get("BENCH_KODAK_BATCH", batch))
-                kfn = roundtrip_scan_fn((512, 768))
+                kfn = roundtrip_fwd_fn((512, 768))
                 kw = rand_imgs((2, kb, 512, 768, 3))
-                kx = rand_imgs((2, kb, 512, 768, 3))
-                float(kfn(variables, kw))
-                t0 = _now()
-                float(kfn(variables, kx))
-                extra["kodak_img_s"] = round(kb * 2 / (_now() - t0), 3)
+                kx = rand_imgs((3, kb, 512, 768, 3))
+                time_roundtrip(kfn, variables, kw)
+                dtk = time_roundtrip(kfn, variables, kx)
+                extra["kodak_img_s"] = round(kb * 3 / dtk, 3)
             elif name == "kodak_full":
                 # full codec (entropy stage + file-equivalent framing) at
                 # the Kodak shape — BASELINE.json's named config; uint8
