@@ -199,6 +199,11 @@ def main():
             extra["mfu"] = round(rt256 * fpi / peak, 4)
             extra["chip_peak_tflops"] = peak / 1e12
             break
+    try:
+        from control_gic_tpu.ops.norm_conv import chain_enabled
+        extra["chain_default"] = int(chain_enabled())
+    except Exception:
+        pass
 
     # ---------------------------------- full codec incl. entropy stage
     cbatch = int(os.environ.get("BENCH_CODEC_BATCH", "32" if on_tpu else "2"))
