@@ -289,11 +289,17 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
     quantization (clip -> *255 -> trunc, same as cli.common.save_png) when
     out_uint8=True.
 
-    device_unpack (None = auto when the table supports it) decodes the
-    bitstreams ON DEVICE (codec.decode_batch device_unpack semantics): the
-    receiver-side H2D shrinks from the decoded index/mask grids (~1.1 MB
-    per 2K image) to the compressed payload itself (few KB). Pinned
-    pixel-identical by test_tiling.
+    device_unpack=True decodes the bitstreams ON DEVICE
+    (codec.decode_batch device_unpack semantics): the receiver-side H2D
+    shrinks from the compact host upload (~450 KB per 2K image, uint16
+    grids + bitmap masks) to the compressed payload itself (few KB).
+    Pinned pixel-identical by test_tiling. Default (None) is the HOST
+    receiver since round 5: the two measured within noise of each other
+    end-to-end (0.644 devrx vs 0.661 hostrx img/s driver-style, same
+    session), but the device receiver's lock-step scan decode inherits
+    the axon runtime's degraded-session loop-carried slowness (measured
+    5-8x on scans; codec256 devrx 36.0 vs hostrx 54.4 img/s in such a
+    session) while the host path is immune — robustness wins the tie.
 
     Returns [(reconstruction, bpp, bundles), ...] in input order.
     """
@@ -308,7 +314,7 @@ def compress_tiled_device(codec: CGICCodec, images, coarse_ratio: float,
 
     assert tile % 16 == 0, f"tile must be a multiple of 16, got {tile}"
     if device_unpack is None:
-        device_unpack = codec._decode_tables is not None
+        device_unpack = False       # see docstring: robustness default
     assert not device_unpack or codec._decode_tables is not None
     trace = os.environ.get("CONTROL_GIC_PIPE_TRACE") == "1"
     from collections import defaultdict

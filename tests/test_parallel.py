@@ -141,11 +141,12 @@ def test_tiled_device_matches_tiled(rng):
     diff = np.abs(rec8.astype(np.int16) - want.astype(np.int16))
     assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
 
-    # the host-rebuild receiver variant stays pixel/byte-identical to the
-    # device-unpack default (auto-on above: the table is device-decodable)
+    # the device-unpack receiver variant stays pixel/byte-identical to
+    # the host default (round-5 robustness default: host receiver; the
+    # device path remains fully supported and covered here)
     host = compress_tiled_device(codec, images, 0.1, 0.4, tile=64,
                                  out_uint8=False, threads=True,
-                                 device_unpack=False)
+                                 device_unpack=True)
     for (rec_d, bpp_d, bun_d), (rec_h, bpp_h, bun_h) in zip(dev, host):
         assert bpp_d == pytest.approx(bpp_h)
         assert [b.streams for b in bun_d] == [b.streams for b in bun_h]
