@@ -74,5 +74,9 @@ def build_codec(ckpt: Optional[str] = None,
 
 def save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
-    arr = np.clip(np.asarray(img), 0.0, 1.0)
+    img = np.asarray(img)
+    if img.dtype == np.uint8:      # already device-quantized (same math)
+        Image.fromarray(img).save(path)
+        return
+    arr = np.clip(img, 0.0, 1.0)
     Image.fromarray((arr * 255).astype(np.uint8)).save(path)

@@ -40,6 +40,13 @@ def get_parser():
     p.add_argument("--device_pack", action="store_true",
                    help="entropy-pack tile streams on device, fused with "
                         "the encoder (byte-identical output)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable the wire-minimal threaded pipeline "
+                        "(parallel/tiling.compress_tiled_device: ONE uint8 "
+                        "upload + ONE uint8 download per image, device-side "
+                        "tile slicing/stitching, images overlapped across "
+                        "the host entropy stage) and run the plain per-tile "
+                        "path instead")
     p.add_argument("-r", "--images_range", type=int, nargs=2, default=(0, -1))
     return p
 
@@ -60,22 +67,21 @@ def main(argv=None):
                                images_range=tuple(args.images_range))
     print(f"Found {len(dataset)} images; tile={args.tile}")
 
+    # wire-minimal threaded pipeline: plain tiled runs only (no overlap
+    # blending, no spatial, no mesh sharding), and only when the Huffman
+    # table supports on-device packing. Streams/bpp are identical to the
+    # per-tile path (pinned by tests); recon differs only by the PNG
+    # uint8 quantization that save_png applies anyway.
+    pipeline = (not args.no_pipeline and not args.spatial
+                and args.overlap == 0 and mesh is None
+                and codec._device_tables is not None)
+
     bpps, psnrs = [], []
     with open(os.path.join(args.output_dir, "bpp.txt"), "w") as log:
-        for k in range(len(dataset)):
-            img = dataset[k]
-            t0 = time.time()
-            if args.spatial:
-                assert mesh is not None, "--spatial requires --mesh-devices"
-                from ..parallel.spatial_codec import compress_spatial
-                rec, bpp, _ = compress_spatial(codec, img, rc, rm, mesh)
-            else:
-                rec, bpp, _ = compress_tiled(codec, img, rc, rm,
-                                             tile=args.tile,
-                                             overlap=args.overlap, mesh=mesh,
-                                             device_pack=args.device_pack)
-            dt = time.time() - t0
-            p = psnr(np.clip(rec, 0, 1), img)
+        def emit(k, img, rec, bpp, dt):
+            p = psnr(np.clip(np.asarray(rec, np.float32)
+                             / (255.0 if rec.dtype == np.uint8 else 1.0),
+                             0, 1), img)
             bpps.append(bpp)
             psnrs.append(p)
             save_png(os.path.join(args.output_dir,
@@ -84,6 +90,34 @@ def main(argv=None):
                     f"bpp={bpp:.5f} psnr={p:.2f}dB {dt:.2f}s")
             print(line)
             log.write(line + "\n")
+
+        if pipeline:
+            from ..parallel.tiling import compress_tiled_device
+            chunk = 8    # bound host RAM; pipeline overlaps within chunks
+            for base in range(0, len(dataset), chunk):
+                imgs = [dataset[k] for k in
+                        range(base, min(base + chunk, len(dataset)))]
+                t0 = time.time()
+                results = compress_tiled_device(
+                    codec, imgs, rc, rm, tile=args.tile)
+                dt = (time.time() - t0) / len(imgs)
+                for j, (rec, bpp, _) in enumerate(results):
+                    emit(base + j, imgs[j], rec, bpp, dt)
+        else:
+            for k in range(len(dataset)):
+                img = dataset[k]
+                t0 = time.time()
+                if args.spatial:
+                    assert mesh is not None, \
+                        "--spatial requires --mesh-devices"
+                    from ..parallel.spatial_codec import compress_spatial
+                    rec, bpp, _ = compress_spatial(codec, img, rc, rm, mesh)
+                else:
+                    rec, bpp, _ = compress_tiled(
+                        codec, img, rc, rm, tile=args.tile,
+                        overlap=args.overlap, mesh=mesh,
+                        device_pack=args.device_pack)
+                emit(k, img, rec, bpp, time.time() - t0)
         avg = (f"average: bpp={np.mean(bpps):.5f} "
                f"psnr={np.mean(psnrs):.2f}dB")
         print(avg)
