@@ -189,7 +189,9 @@ def main():
     dt = time_roundtrip(fn, variables, xs)
     if profile_dir:
         jax.profiler.stop_trace()
-    rt256 = batch * iters / dt
+    # divide by the images actually executed (n_disp * floor-divided
+    # per-dispatch batch), not the requested product
+    rt256 = n_disp * (batch * iters // n_disp) / dt
 
     fpi = FLOPS_PER_IMAGE
     extra["flops_per_image_tflops"] = round(fpi / 1e12, 4)

@@ -97,9 +97,16 @@ def main(argv=None):
             for base in range(0, len(dataset), chunk):
                 imgs = [dataset[k] for k in
                         range(base, min(base + chunk, len(dataset)))]
+                # ship uint8 pixels (4x fewer wire bytes on the
+                # tunnel-attached chip): the dataset's ToTensor is
+                # exactly k/255, so rint(img*255) recovers the source
+                # bytes losslessly and codec._to_float redoes the /255
+                # on device — identical math, identical streams
+                imgs_u8 = [np.rint(im * 255.0).astype(np.uint8)
+                           for im in imgs]
                 t0 = time.time()
                 results = compress_tiled_device(
-                    codec, imgs, rc, rm, tile=args.tile)
+                    codec, imgs_u8, rc, rm, tile=args.tile)
                 dt = (time.time() - t0) / len(imgs)
                 for j, (rec, bpp, _) in enumerate(results):
                     emit(base + j, imgs[j], rec, bpp, dt)

@@ -278,6 +278,10 @@ class CGICCodec:
         self.variables = variables
         self.huffman = HuffmanCodec.from_counts(np.asarray(counts))
         self.bitmap = BitmapCodec()
+        # the compact receiver ships index grids as uint16
+        # (split_compact_buf); the reference codebook is 1024
+        assert len(np.asarray(counts)) <= 65536, \
+            "compact receiver buffer is uint16: codebook must be <= 65536"
         # Device-side packing needs all code lengths <= 32 bits (true for
         # any non-degenerate trained frequency table).
         self._device_tables = (pack_tables(self.huffman.codes)
@@ -865,8 +869,13 @@ class CGICCodec:
         stats accumulates 'b_rebuild_s' (host entropy decode + grid
         rebuild), 'b_h2d_dispatch_s', 'b_h2d_bytes'."""
         t0 = time.perf_counter()
-        inds = [self._rebuild(e)[0] for e in encoded]
         mode, (hl, wl) = encoded[0].mode, encoded[0].latent_hw
+        # the compact buffer derives every image's masks from ONE static
+        # mode — a mixed-mode batch would decode silently wrong
+        assert all(e.mode == mode and e.latent_hw == (hl, wl)
+                   for e in encoded), "decode_batch needs same-mode/"\
+            "same-shape bundles; split mixed batches by (mode, latent_hw)"
+        inds = [self._rebuild(e)[0] for e in encoded]
         buf = self._compact_decode_input(encoded, inds)
         t1 = time.perf_counter()
         out = self._decode_fused_fn(mode, hl, wl, out_uint8)(

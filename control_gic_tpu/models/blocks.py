@@ -170,46 +170,38 @@ class ResnetBlock(nn.Module):
         chain = ((self.dropout == 0.0 or deterministic)
                  and (emit_mom or mom_in is not None)
                  and chain_admissible(x.shape, out_ch))
-        if chain and self.zq_cond and zq is not None:
+        if chain and (zq is not None or not self.zq_cond):
+            # one wiring for both norm forms: SpatialNorm (zq_cond) vs
+            # plain GroupNorm — only the param unpack and the fused op
+            # differ (ops/norm_conv collapses the same split internally)
             xd = x.astype(self.dtype)
-            zq_r, *np1 = _Norm(True, self.dtype, name="norm1")(
-                x, zq, return_params=True)
+
+            def norm_p(name, ref):
+                p = _Norm(self.zq_cond, self.dtype, name=name)(
+                    ref, zq, return_params=True)
+                return tuple(p[1:]) if self.zq_cond else p
+
+            if self.zq_cond:
+                zq_r = nearest_resize(zq, x.shape[1],
+                                      x.shape[2]).astype(self.dtype)
+                conv_mom = (lambda h, pn, k, b, **kw: spatial_norm_conv_mom(
+                    h, zq_r, *pn, k, b, use_fused=True, **kw))
+            else:
+                conv_mom = (lambda h, pn, k, b, **kw: group_norm_conv_mom(
+                    h, *pn, k, b, use_fused=True, **kw))
+
             k1, b1 = _Conv3x3Params(in_ch, out_ch, name="conv1")()
             stats1 = (stats_from_moments(mom_in, x.shape[1] * x.shape[2])
                       if mom_in is not None else None)
-            h, mom1 = spatial_norm_conv_mom(
-                xd, zq_r, *np1, k1, b1, stats=stats1, act_swish=True,
-                emit_mom=True, use_fused=True)
-            _, *np2 = _Norm(True, self.dtype, name="norm2")(
-                h, zq, return_params=True)
+            h, mom1 = conv_mom(xd, norm_p("norm1", x), k1, b1,
+                               stats=stats1, emit_mom=True)
             k2, b2 = _Conv3x3Params(out_ch, out_ch, name="conv2")()
             res = (nn.Conv(out_ch, (1, 1), dtype=self.dtype,
                            name="nin_shortcut")(x)
                    if in_ch != out_ch else xd)
             stats2 = stats_from_moments(mom1, h.shape[1] * h.shape[2])
-            return spatial_norm_conv_mom(
-                h, zq_r, *np2, k2, b2, res=res, stats=stats2,
-                act_swish=True, emit_mom=emit_mom, use_fused=True)
-        if chain and not self.zq_cond:
-            xd = x.astype(self.dtype)
-            g1, gb1 = _Norm(False, self.dtype, name="norm1")(
-                x, return_params=True)
-            k1, b1 = _Conv3x3Params(in_ch, out_ch, name="conv1")()
-            stats1 = (stats_from_moments(mom_in, x.shape[1] * x.shape[2])
-                      if mom_in is not None else None)
-            h, mom1 = group_norm_conv_mom(
-                xd, g1, gb1, k1, b1, stats=stats1, act_swish=True,
-                emit_mom=True, use_fused=True)
-            g2, gb2 = _Norm(False, self.dtype, name="norm2")(
-                h, return_params=True)
-            k2, b2 = _Conv3x3Params(out_ch, out_ch, name="conv2")()
-            res = (nn.Conv(out_ch, (1, 1), dtype=self.dtype,
-                           name="nin_shortcut")(x)
-                   if in_ch != out_ch else xd)
-            stats2 = stats_from_moments(mom1, h.shape[1] * h.shape[2])
-            return group_norm_conv_mom(
-                h, g2, gb2, k2, b2, res=res, stats=stats2,
-                act_swish=True, emit_mom=emit_mom, use_fused=True)
+            return conv_mom(h, norm_p("norm2", h), k2, b2, res=res,
+                            stats=stats2, emit_mom=emit_mom)
         assert mom_in is None and not emit_mom, \
             "mom_in/emit_mom passed to a block that cannot chain " \
             "(caller must check chain_admissible first)"

@@ -24,6 +24,15 @@ tested in tests/test_spatial_decoder.py.
 
 Constraints: global latent H divisible by 4 * n_shards (mask alignment);
 W, channels unrestricted.
+
+Numerics note (round 5): models/decoder.py additionally runs the chained
+stats-in-epilogue Pallas kernels on TPU for >=9M-elem activations
+(ops/norm_conv.chain_admissible); this sharded body stays pure XLA by
+design — the chain's halo-row blocking does not compose with the H-shard
+halo exchange yet. The drift is bounded: the chained kernels are pinned
+bit-identical (uint8) / <=bf16-rounding against the XLA composition by
+on-chip A/B and tests, and the CPU equivalence tests (where the chain is
+off) pin this file against the flax decoder exactly.
 """
 from __future__ import annotations
 
