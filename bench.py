@@ -98,6 +98,34 @@ def wire_probe(jax, mb: int = 8):
             "wire_rtt_ms": round(rtt_ms, 1)}
 
 
+def mxu_probe(jax, jnp, n: int = 4096, chain: int = 24) -> float:
+    """Pure-MXU calibration: TFLOP/s of a chain of dependent bf16 n x n
+    matmuls inside ONE dispatch (unrolled — loop-carried scan programs
+    were measured 5-8x slow in degraded runtime sessions, and dependent
+    inputs defeat the runtime's dedupe). Records CHIP state independent
+    of model code: a low headline with a low probe is a throttled chip,
+    not a regression."""
+    import numpy as _np
+    rng = _np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(n, n)) * 0.01, jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(n, n)) * 0.01, jnp.bfloat16)
+
+    @jax.jit
+    def f(a, b):
+        x = a
+        for _ in range(chain):
+            x = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+        return jnp.sum(x.astype(jnp.float32))
+
+    b2 = (b * jnp.bfloat16(1.0000305))   # distinct input, built (and
+    b2.block_until_ready()               # compiled) OUTSIDE the timing
+    float(f(a, b))                       # compile + warm
+    t0 = _now()
+    float(f(a, b2))
+    dt = _now() - t0
+    return round(2 * n ** 3 * chain / dt / 1e12, 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -206,6 +234,11 @@ def main():
         extra["chain_default"] = int(chain_enabled())
     except Exception:
         pass
+    if on_tpu:
+        try:  # chip-state calibration (see mxu_probe)
+            extra["mxu_probe_tflops"] = mxu_probe(jax, jnp)
+        except Exception as e:
+            extra["mxu_probe_error"] = f"{type(e).__name__}: {e}"[:120]
 
     # ---------------------------------- full codec incl. entropy stage
     cbatch = int(os.environ.get("BENCH_CODEC_BATCH", "32" if on_tpu else "2"))
